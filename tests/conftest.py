@@ -1,0 +1,20 @@
+"""Test harness config: CPU backend with a virtual 8-device mesh + x64.
+
+Tests run on the CPU backend (8 virtual devices for sharding tests, per the
+driver contract) with x64 enabled so the f64 tier and the f64 reference DFT
+are exact. TPU execution is exercised by bench.py / __graft_entry__.py on the
+real chip.
+"""
+
+import os
+
+_flags = os.environ.get("XLA_FLAGS", "")
+if "--xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = _flags + " --xla_force_host_platform_device_count=8"
+
+import jax  # noqa: E402
+
+# The axon site forces JAX_PLATFORMS=axon via the environment; the config
+# update below (after import) reliably pins tests to CPU.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)

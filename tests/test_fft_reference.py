@@ -1,0 +1,90 @@
+"""Tier 1: reference-DFT equivalence for every surface x size x signal.
+
+Port of tests/fft.test.js, tests/combined.test.js, tests/fft_f32_dual.test.js,
+tests/fft_split_native.test.js, tests/rfft.test.js, tests/ifft.test.js
+(reference, sizes 4-4096): every registered implementation is checked against
+the O(N^2) f64 DFT on the full deterministic signal set, batched in one call.
+"""
+
+import numpy as np
+import pytest
+
+from watfft_tpu import registry
+from watfft_tpu.reference import dft as ref
+from watfft_tpu.utils import tolerances as tol
+
+SIZES = [4, 8, 16, 32, 64, 128, 256, 512, 1024]
+SIZES_LARGE = [2048, 4096]
+
+
+def _signal_batch(n: int) -> np.ndarray:
+    return np.stack([fn(n) for fn in ref.SIGNALS.values()])
+
+
+def _real_signal_batch(n: int) -> np.ndarray:
+    return np.stack([fn(n) for fn in ref.REAL_SIGNALS.values()])
+
+
+def _assert_close(got, expected, dtype, n):
+    got = np.asarray(got, np.complex128)
+    scale = np.maximum(np.max(np.abs(expected), axis=-1, keepdims=True), 1e-30)
+    err = np.max(np.abs(got - expected) / scale)
+    assert err < tol.MAX_REL[dtype] * 4, f"n={n} dtype={dtype} err={err:.3e}"
+
+
+@pytest.mark.parametrize("dtype", ["float32", "float64"])
+@pytest.mark.parametrize("n", SIZES + SIZES_LARGE)
+def test_complex_forward(n, dtype):
+    x = _signal_batch(n)
+    expected = ref.dft(x)
+    for e in registry.entries("complex-forward", dtype):
+        if not (e.min_size <= n <= e.max_size):
+            continue
+        _assert_close(e.make(n)(x), expected, dtype, n)
+
+
+@pytest.mark.parametrize("dtype", ["float32", "float64"])
+@pytest.mark.parametrize("n", SIZES)
+def test_complex_inverse(n, dtype):
+    x = _signal_batch(n)
+    expected = ref.idft(x)
+    for e in registry.entries("complex-inverse", dtype):
+        if not (e.min_size <= n <= e.max_size):
+            continue
+        _assert_close(e.make(n)(x), expected, dtype, n)
+
+
+@pytest.mark.parametrize("dtype", ["float32", "float64"])
+@pytest.mark.parametrize("n", SIZES[1:] + SIZES_LARGE)
+def test_real_forward(n, dtype):
+    x = _real_signal_batch(n)
+    expected = ref.real_dft(x)
+    for e in registry.entries("real-forward", dtype):
+        if not (e.min_size <= n <= e.max_size):
+            continue
+        _assert_close(e.make(n)(x), expected, dtype, n)
+
+
+@pytest.mark.parametrize("dtype", ["float32", "float64"])
+@pytest.mark.parametrize("n", SIZES[1:])
+def test_real_inverse(n, dtype):
+    x = _real_signal_batch(n)
+    spec = ref.real_dft(x)
+    for e in registry.entries("real-inverse", dtype):
+        if not (e.min_size <= n <= e.max_size):
+            continue
+        got = np.asarray(e.make(n)(spec), np.float64)
+        err = np.max(np.abs(got - x))
+        assert err < tol.ROUNDTRIP[dtype], f"n={n} dtype={dtype} err={err:.3e}"
+
+
+def test_rfft_matches_complex_with_zero_imag():
+    """Real FFT result == complex FFT of the same signal with zero imaginary
+    part, on the Hermitian-unique half (reference: tests/rfft.test.js)."""
+    rng = ref.seeded_rng(7)
+    for n in (16, 128, 1024):
+        x = rng.uniform(-1, 1, (3, n))
+        full = np.asarray(registry.flagship("complex-forward", "float32").make(n)(
+            x.astype(np.complex64)))
+        half = np.asarray(registry.flagship("real-forward", "float32").make(n)(x))
+        np.testing.assert_allclose(half, full[..., : n // 2 + 1], atol=n * 5e-6)

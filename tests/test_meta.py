@@ -1,0 +1,80 @@
+"""Tier 7: ecosystem/meta tests — registry coverage + baseline fairness.
+
+Port of tests/benchmark-coverage.test.js (registry <-> surfaces consistency +
+an N=64 DFT spot-check per entry) and tests/third-party-correctness.test.js
+(verify the competitor baselines produce correct results so benchmarks are
+meaningful — here the competitor is jnp.fft).
+"""
+
+import numpy as np
+import pytest
+
+from watfft_tpu import registry
+from watfft_tpu.reference import dft as ref
+
+
+def test_every_surface_has_exactly_one_flagship():
+    for surface in registry.SURFACES:
+        for dtype in ("float32", "float64"):
+            e = registry.flagship(surface, dtype)
+            assert e.flagship and not e.baseline
+
+
+def test_registry_entries_are_well_formed():
+    names = set()
+    for e in registry.REGISTRY:
+        assert e.surface in registry.SURFACES
+        assert e.dtype in ("float32", "float64")
+        assert e.min_size <= e.max_size
+        assert not (e.flagship and e.baseline), "a baseline cannot be flagship"
+        names.add((e.name, e.surface, e.dtype))
+    assert len(names) == len(registry.REGISTRY), "duplicate registry entries"
+
+
+@pytest.mark.parametrize("surface,kind", [
+    ("complex-forward", "c2c"),
+    ("complex-inverse", "c2c_inv"),
+    ("real-forward", "r2c"),
+    ("real-inverse", "c2r"),
+])
+def test_spot_check_every_entry_n64(surface, kind):
+    """Every registry entry (including baselines) must produce a correct N=64
+    transform — no kernel escapes validation (benchmark-coverage.test.js:1-21)."""
+    n = 64
+    rng = ref.seeded_rng(64)
+    for e in registry.entries(surface, include_baselines=True):
+        if not (e.min_size <= n <= e.max_size):
+            continue
+        tol = 1e-4 if e.dtype == "float32" else 1e-9
+        fn = e.make(n)
+        if kind == "c2c":
+            x = rng.uniform(-1, 1, n) + 1j * rng.uniform(-1, 1, n)
+            got, expected = np.asarray(fn(x)), ref.dft(x)
+        elif kind == "c2c_inv":
+            x = rng.uniform(-1, 1, n) + 1j * rng.uniform(-1, 1, n)
+            got, expected = np.asarray(fn(x)), ref.idft(x)
+        elif kind == "r2c":
+            x = rng.uniform(-1, 1, n)
+            got, expected = np.asarray(fn(x)), ref.real_dft(x)
+        else:
+            sig = rng.uniform(-1, 1, n)
+            got = np.asarray(fn(ref.real_dft(sig)))
+            expected = sig
+        scale = max(np.max(np.abs(expected)), 1e-30)
+        err = np.max(np.abs(got - expected)) / scale
+        assert err < tol, f"{e.name}/{e.surface}/{e.dtype}: err={err:.3e}"
+
+
+def test_jnp_fft_baseline_is_fair():
+    """The jnp.fft competitor entries compute the same convention we do
+    (unnormalized forward, 1/N inverse) — ensuring benchmark comparisons are
+    apples-to-apples (third-party-correctness.test.js:10-16)."""
+    n = 128
+    rng = ref.seeded_rng(5)
+    x = rng.uniform(-1, 1, n) + 1j * rng.uniform(-1, 1, n)
+    base_fwd = registry.entries("complex-forward", "float64",
+                                include_baselines=True)
+    jn = [e for e in base_fwd if e.baseline]
+    assert jn, "jnp.fft baseline must be registered"
+    got = np.asarray(jn[0].make(n)(x))
+    np.testing.assert_allclose(got, ref.dft(x), atol=1e-9)

@@ -1,0 +1,227 @@
+"""Public context API: plan-once, transform-many.
+
+Mirrors the reference's high-level factory surface (index.js:69-178,
+index.d.ts:42-153): `create_fft(size)` / `create_fft_f32(size)` /
+`create_rfft(size)` / `create_rfft_f32(size)` return a context whose
+`forward` / `inverse` run the precomputed plan. Differences, by design:
+
+* JAX is functional: instead of zero-copy input/output buffer views over
+  linear memory, `forward(x)` takes/returns arrays (device-resident jnp
+  arrays are the zero-copy analog); split-plane entry points
+  (`forward_planes`) expose the TPU-native layout directly.
+* Everything is batched: x may be [..., n]; the leading axes ride the
+  8x128 VPU/MXU grid — the TPU generalization of wat-fft's dual-complex SIMD
+  lanes (SURVEY.md §2.3).
+* The f64 real context has a **working inverse** — the reference's f64 real
+  module exports no `irfft` and its `inverse()` throws (SURVEY.md §2.2 gap,
+  modules/fft_real_combined.wat vs index.js:146). We fix rather than
+  reproduce the hole.
+* On TPU backends (no native f64), f64 plans transparently execute on the
+  host CPU backend, keeping API parity; the TPU-native f64 story is the
+  double-f32 tier (see ops/doubledouble.py when it lands).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .plan import build_tree, is_power_of_two
+from .ops.fourstep import apply_tables, fft_tables
+from .ops.rfft import rfft_planes, irfft_planes, rfft_post_twiddles
+
+__all__ = [
+    "FFTContext", "RFFTContext",
+    "create_fft", "create_fft_f32", "create_rfft", "create_rfft_f32",
+    "fft", "ifft", "rfft", "irfft",
+]
+
+
+def _check_size(n: int, minimum: int = 2) -> None:
+    if not isinstance(n, (int, np.integer)) or not is_power_of_two(int(n)) or n < minimum:
+        raise ValueError(
+            f"size must be a power of two >= {minimum}, got {n!r}"
+        )
+
+
+def _f64_supported() -> bool:
+    return bool(jax.config.jax_enable_x64)
+
+
+def _placement(dtype: str):
+    """Device for this dtype; f64 falls back to CPU on non-f64 backends."""
+    default = jax.devices()[0]
+    if dtype == "float64" and default.platform not in ("cpu",):
+        cpus = jax.devices("cpu")
+        return cpus[0] if cpus else default
+    return None  # use default placement
+
+
+def _put(tree, device):
+    if device is None:
+        return tree
+    return jax.tree.map(lambda a: jax.device_put(a, device), tree)
+
+
+class _BaseContext:
+    """Shared plumbing: table residency + jit cache keyed by call shape."""
+
+    def __init__(self, n: int, dtype: str):
+        self.size = int(n)
+        self.dtype = dtype
+        if dtype == "float64" and not _f64_supported():
+            raise RuntimeError(
+                "float64 contexts require jax x64 mode "
+                "(set JAX_ENABLE_X64=1 or jax.config.update('jax_enable_x64', True)); "
+                "use the f32 factories for the TPU-native path"
+            )
+        self._device = _placement(dtype)
+        self._np_dtype = np.dtype(dtype)
+        self._cdtype = jnp.complex128 if dtype == "float64" else jnp.complex64
+
+    def _prep(self, x):
+        x = jnp.asarray(x) if self._device is None else jax.device_put(
+            np.asarray(x) if not isinstance(x, jax.Array) else x, self._device)
+        return x
+
+    def _prep_complex(self, x):
+        """Convert to the complex dtype without ever materializing an
+        unsupported dtype on the default (possibly TPU) device."""
+        np_c = np.complex128 if self.dtype == "float64" else np.complex64
+        if not isinstance(x, jax.Array):
+            x = np.asarray(x, np_c)
+        return self._prep(x).astype(self._cdtype)
+
+
+class FFTContext(_BaseContext):
+    """Complex FFT context: forward/inverse over [..., n] (reference analog:
+    createFFT/createFFTf32 contexts, index.js:69-127)."""
+
+    def __init__(self, n: int, dtype: str = "float32"):
+        _check_size(n)
+        super().__init__(n, dtype)
+        fwd = build_tree(n, inverse=False, dtype=self._np_dtype)
+        inv = build_tree(n, inverse=True, dtype=self._np_dtype)
+        self._shape_info = [(lv.n, lv.n1, lv.n2) for lv in fwd.leaves()]
+        self._fwd_tables = _put(fft_tables(fwd), self._device)
+        self._inv_tables = _put(fft_tables(inv), self._device)
+        self._planes_fn = jax.jit(
+            partial(apply_tables, shape_info=self._shape_info))
+
+    # -- split-plane (TPU-native) entry points --------------------------------
+    def forward_planes(self, xre, xim):
+        return self._planes_fn(self._prep(xre), self._prep(xim), self._fwd_tables)
+
+    def inverse_planes(self, xre, xim):
+        return self._planes_fn(self._prep(xre), self._prep(xim), self._inv_tables)
+
+    # -- complex-dtype convenience entry points -------------------------------
+    def forward(self, x):
+        x = self._prep_complex(x)
+        re, im = self._planes_fn(x.real, x.imag, self._fwd_tables)
+        return (re + 1j * im).astype(self._cdtype)
+
+    def inverse(self, x):
+        x = self._prep_complex(x)
+        re, im = self._planes_fn(x.real, x.imag, self._inv_tables)
+        return (re + 1j * im).astype(self._cdtype)
+
+
+class RFFTContext(_BaseContext):
+    """Real FFT context: forward real [..., n] -> [..., n//2+1] complex;
+    inverse back (reference analog: createRFFT/createRFFTf32,
+    index.js:129-178 — with the f64 inverse implemented, see module doc)."""
+
+    def __init__(self, n: int, dtype: str = "float32"):
+        _check_size(n, minimum=4)
+        super().__init__(n, dtype)
+        m = n // 2
+        fwd = build_tree(m, inverse=False, dtype=self._np_dtype)
+        inv = build_tree(m, inverse=True, dtype=self._np_dtype)
+        self._shape_info = [(lv.n, lv.n1, lv.n2) for lv in fwd.leaves()]
+        self._fwd_tables = _put(fft_tables(fwd), self._device)
+        self._inv_tables = _put(fft_tables(inv), self._device)
+        fw = rfft_post_twiddles(n, inverse=False, dtype=self._np_dtype)
+        iw = rfft_post_twiddles(n, inverse=True, dtype=self._np_dtype)
+        self._fwd_w = _put(tuple(jnp.asarray(a) for a in fw), self._device)
+        self._inv_w = _put(tuple(jnp.asarray(a) for a in iw), self._device)
+        self._fwd_fn = jax.jit(partial(rfft_planes, shape_info=self._shape_info))
+        self._inv_fn = jax.jit(partial(irfft_planes, inv_shape_info=self._shape_info))
+
+    def forward_planes(self, x):
+        return self._fwd_fn(self._prep(x), self._fwd_tables,
+                            wre=self._fwd_w[0], wim=self._fwd_w[1])
+
+    def inverse_planes(self, xre, xim):
+        return self._inv_fn(self._prep(xre), self._prep(xim), self._inv_tables,
+                            wre=self._inv_w[0], wim=self._inv_w[1])
+
+    def forward(self, x):
+        x = self._prep(np.asarray(x, self._np_dtype) if not isinstance(x, jax.Array) else x).astype(self._np_dtype.name)
+        re, im = self.forward_planes(x)
+        return (re + 1j * im).astype(self._cdtype)
+
+    def inverse(self, x):
+        x = self._prep_complex(x)
+        return self.inverse_planes(x.real, x.imag)
+
+
+# -- factories (names mirror index.js exports) -------------------------------
+
+def create_fft(size: int) -> FFTContext:
+    """f64 complex FFT context (reference: createFFT, index.js:69)."""
+    return FFTContext(size, "float64")
+
+
+def create_fft_f32(size: int) -> FFTContext:
+    """f32 complex FFT context (reference: createFFTf32, index.js:95)."""
+    return FFTContext(size, "float32")
+
+
+def create_rfft(size: int) -> RFFTContext:
+    """f64 real FFT context with working inverse (reference: createRFFT,
+    index.js:129; inverse gap fixed, SURVEY.md §2.2)."""
+    return RFFTContext(size, "float64")
+
+
+def create_rfft_f32(size: int) -> RFFTContext:
+    """f32 real FFT context (reference: createRFFTf32, index.js:156)."""
+    return RFFTContext(size, "float32")
+
+
+# -- one-shot functional conveniences (plan-cached) --------------------------
+
+_ctx_cache: dict = {}
+
+
+def _ctx(kind: str, n: int, dtype: str):
+    key = (kind, n, dtype)
+    if key not in _ctx_cache:
+        cls = FFTContext if kind == "c2c" else RFFTContext
+        _ctx_cache[key] = cls(n, dtype)
+    return _ctx_cache[key]
+
+
+def fft(x, dtype: str = "float32"):
+    x = jnp.asarray(x)
+    return _ctx("c2c", x.shape[-1], dtype).forward(x)
+
+
+def ifft(x, dtype: str = "float32"):
+    x = jnp.asarray(x)
+    return _ctx("c2c", x.shape[-1], dtype).inverse(x)
+
+
+def rfft(x, dtype: str = "float32"):
+    x = jnp.asarray(x)
+    return _ctx("r2c", x.shape[-1], dtype).forward(x)
+
+
+def irfft(x, dtype: str = "float32"):
+    x = jnp.asarray(x)
+    n = 2 * (x.shape[-1] - 1)
+    return _ctx("r2c", n, dtype).inverse(x)

@@ -1,0 +1,119 @@
+"""Surface registry — the single source of truth for benchmarkable kernels.
+
+Port of benchmarks/shared/wat-surfaces.mjs (reference), which exists because a
+stale benchmark once mis-reported results for two generations
+(wat-surfaces.mjs:13-17). Every kernel implementation must be registered here;
+the coverage meta-test (tests/test_meta.py, reference analog
+tests/benchmark-coverage.test.js) enforces that every entry passes a DFT
+spot-check and that every public surface has a flagship, so no kernel can
+silently escape testing or benchmarking.
+
+Surfaces (reference: wat-surfaces.mjs:50-184): complex-forward,
+complex-inverse, real-forward, real-inverse — each × {float32, float64}.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+import numpy as np
+
+__all__ = ["SurfaceEntry", "REGISTRY", "SURFACES", "entries", "flagship"]
+
+SURFACES = ("complex-forward", "complex-inverse", "real-forward", "real-inverse")
+
+
+@dataclass(frozen=True)
+class SurfaceEntry:
+    name: str          # implementation name
+    surface: str       # one of SURFACES
+    dtype: str         # float32 | float64
+    min_size: int
+    max_size: int
+    flagship: bool     # the implementation dispatched by the public API
+    baseline: bool     # competitor/baseline (jnp.fft), never flagship
+    make: Callable[[int], Callable[[np.ndarray], np.ndarray]]
+    # make(n) -> transform: batched host/jnp array [..., n-ish] -> result array
+
+
+def _ctx_cached(kind: str):
+    from . import api
+    cache: dict = {}
+
+    def get(n: int, dtype: str):
+        key = (n, dtype)
+        if key not in cache:
+            cache[key] = (api.FFTContext if kind == "c2c" else api.RFFTContext)(n, dtype)
+        return cache[key]
+
+    return get
+
+
+_get_c2c = _ctx_cached("c2c")
+_get_r2c = _ctx_cached("r2c")
+
+
+def _mk(kind: str, direction: str, dtype: str):
+    def make(n: int):
+        ctx = (_get_c2c if kind == "c2c" else _get_r2c)(n, dtype)
+        return ctx.forward if direction == "forward" else ctx.inverse
+    return make
+
+
+def _mk_jnp_fft(surface: str, dtype: str):
+    """jnp.fft baseline — the flagship competitor (SURVEY.md §4 tier 7:
+    'verify jnp.fft baselines are configured fairly'). Full transform
+    including any layout conversion, matching how our surfaces are charged."""
+    import jax.numpy as jnp
+
+    def make(n: int):
+        if surface == "complex-forward":
+            return lambda x: jnp.fft.fft(jnp.asarray(x))
+        if surface == "complex-inverse":
+            return lambda x: jnp.fft.ifft(jnp.asarray(x))
+        if surface == "real-forward":
+            return lambda x: jnp.fft.rfft(jnp.asarray(x))
+        return lambda x: jnp.fft.irfft(jnp.asarray(x), n=n)
+    return make
+
+
+def _build_registry() -> list[SurfaceEntry]:
+    out: list[SurfaceEntry] = []
+    for dtype in ("float32", "float64"):
+        max_n = 1 << 20
+        for surface, kind, direction in (
+            ("complex-forward", "c2c", "forward"),
+            ("complex-inverse", "c2c", "inverse"),
+            ("real-forward", "r2c", "forward"),
+            ("real-inverse", "r2c", "inverse"),
+        ):
+            min_n = 2 if kind == "c2c" else 4
+            out.append(SurfaceEntry(
+                name="fourstep-mxu", surface=surface, dtype=dtype,
+                min_size=min_n, max_size=max_n, flagship=True, baseline=False,
+                make=_mk(kind, direction, dtype)))
+            out.append(SurfaceEntry(
+                name="jnp-fft", surface=surface, dtype=dtype,
+                min_size=min_n, max_size=max_n, flagship=False, baseline=True,
+                make=_mk_jnp_fft(surface, dtype)))
+    return out
+
+
+REGISTRY: list[SurfaceEntry] = _build_registry()
+
+
+def entries(surface: Optional[str] = None, dtype: Optional[str] = None,
+            include_baselines: bool = False) -> list[SurfaceEntry]:
+    out = [e for e in REGISTRY
+           if (surface is None or e.surface == surface)
+           and (dtype is None or e.dtype == dtype)
+           and (include_baselines or not e.baseline)]
+    return out
+
+
+def flagship(surface: str, dtype: str) -> SurfaceEntry:
+    f = [e for e in entries(surface, dtype) if e.flagship]
+    if len(f) != 1:
+        raise RuntimeError(f"expected exactly one flagship for {surface}/{dtype}, got {len(f)}")
+    return f[0]
