@@ -119,6 +119,21 @@ class FFTContext(_BaseContext):
     def inverse_planes(self, xre, xim):
         return self._planes_fn(self._prep(xre), self._prep(xim), self._inv_tables)
 
+    # -- time-major [n, batch] entry points (the Pallas hot path) -------------
+    # Batch rides the 128-lane axis; this is the layout the flagship Stockham
+    # kernel runs butterflies in with zero lane shuffles. f32 only.
+    def forward_planes_nb(self, xre, xim):
+        from .ops.pallas_stockham import stockham_fft_nb
+        if self.dtype != "float32":
+            raise NotImplementedError("time-major kernel path is f32-only")
+        return stockham_fft_nb(self._prep(xre), self._prep(xim), inverse=False)
+
+    def inverse_planes_nb(self, xre, xim):
+        from .ops.pallas_stockham import stockham_fft_nb
+        if self.dtype != "float32":
+            raise NotImplementedError("time-major kernel path is f32-only")
+        return stockham_fft_nb(self._prep(xre), self._prep(xim), inverse=True)
+
     # -- complex-dtype convenience entry points -------------------------------
     def forward(self, x):
         x = self._prep_complex(x)

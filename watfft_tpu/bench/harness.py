@@ -1,0 +1,127 @@
+"""Statistical benchmark harness.
+
+Port of benchmarks/lib/harness.js (reference): warmup, batch calibration so
+no timer/sync calls sit in the hot loop, 10 samples of ~150 ms each, median +
+coefficient of variation, JSON persistence with git/device metadata
+(harness.js:27-92, 186-221). Adapted for JAX's async dispatch: a "batch" is K
+back-to-back dispatches with one `block_until_ready` at the end, so device
+work pipelines exactly as it would in production.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import statistics
+import subprocess
+import time
+from dataclasses import dataclass, asdict
+from typing import Callable, Optional
+
+import jax
+
+__all__ = ["BenchResult", "run_benchmark", "save_results", "format_results"]
+
+WARMUP_MS = 200.0
+TARGET_SAMPLE_MS = 150.0
+NUM_SAMPLES = 10
+
+
+@dataclass
+class BenchResult:
+    name: str
+    ops_per_sec: float  # transforms (or calls) per second, median
+    cv: float           # coefficient of variation across samples
+    batch: int          # dispatches per timed sample
+    items_per_call: int
+    samples: list
+
+
+def _time_batch(fn: Callable, k: int) -> float:
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(k):
+        out = fn()
+    jax.block_until_ready(out)
+    return time.perf_counter() - t0
+
+
+def run_benchmark(name: str, fn: Callable, items_per_call: int = 1,
+                  num_samples: int = NUM_SAMPLES) -> BenchResult:
+    """fn: zero-arg callable issuing one (possibly batched) transform call.
+    items_per_call: transforms per call (for ops/s accounting)."""
+    # Warmup (compile + caches)
+    deadline = time.perf_counter() + WARMUP_MS / 1e3
+    _time_batch(fn, 1)
+    while time.perf_counter() < deadline:
+        _time_batch(fn, 1)
+    # Batch calibration: pick k so one sample is ~TARGET_SAMPLE_MS
+    t1 = _time_batch(fn, 1)
+    k = max(1, int(TARGET_SAMPLE_MS / 1e3 / max(t1, 1e-7)))
+    # Samples
+    times = [_time_batch(fn, k) for _ in range(num_samples)]
+    per_call = [t / k for t in times]
+    med = statistics.median(per_call)
+    mean = statistics.fmean(per_call)
+    sd = statistics.pstdev(per_call)
+    return BenchResult(
+        name=name,
+        ops_per_sec=items_per_call / med,
+        cv=(sd / mean) if mean > 0 else 0.0,
+        batch=k,
+        items_per_call=items_per_call,
+        samples=[items_per_call / t for t in per_call],
+    )
+
+
+def _git_meta() -> dict:
+    def _run(args):
+        try:
+            return subprocess.run(args, capture_output=True, text=True,
+                                  timeout=5).stdout.strip()
+        except Exception:
+            return ""
+    return {
+        "commit": _run(["git", "rev-parse", "--short", "HEAD"]),
+        "branch": _run(["git", "rev-parse", "--abbrev-ref", "HEAD"]),
+        "dirty": bool(_run(["git", "status", "--porcelain"])),
+    }
+
+
+def _device_meta() -> dict:
+    d = jax.devices()[0]
+    return {"platform": d.platform, "device": str(d), "n_devices": jax.device_count(),
+            "jax": jax.__version__}
+
+
+def save_results(bench_id: str, results: list[BenchResult],
+                 out_dir: str = "benchmarks/results") -> str:
+    """Persist results JSON with git + device metadata
+    (harness.js:186-221 analog)."""
+    os.makedirs(out_dir, exist_ok=True)
+    payload = {
+        "bench_id": bench_id,
+        "timestamp": time.strftime("%Y-%m-%dT%H:%M:%S"),
+        "git": _git_meta(),
+        "device": _device_meta(),
+        "results": [asdict(r) for r in results],
+    }
+    path = os.path.join(out_dir, f"{bench_id}.latest.json")
+    with open(path, "w") as f:
+        json.dump(payload, f, indent=2)
+    return path
+
+
+def format_results(results: list[BenchResult]) -> str:
+    lines = [f"{'benchmark':<48} {'ops/s':>14} {'cv':>7}"]
+    for r in results:
+        lines.append(f"{r.name:<48} {r.ops_per_sec:>14,.0f} {r.cv:>6.1%}")
+    return "\n".join(lines)
+
+
+def significantly_different(a: BenchResult, b: BenchResult) -> bool:
+    """Noise-aware diff: |delta| > max(2%, 3x combined CV)
+    (scripts/bench-diff.js:33-34, 85-86 analog)."""
+    delta = abs(a.ops_per_sec - b.ops_per_sec) / max(b.ops_per_sec, 1e-30)
+    return delta > max(0.02, 3.0 * math.hypot(a.cv, b.cv))

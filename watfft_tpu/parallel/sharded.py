@@ -1,0 +1,98 @@
+"""Multi-chip sharded transforms over a jax.sharding.Mesh.
+
+New capability beyond the reference (which is single-thread WASM with no
+distributed layer — SURVEY.md §2.3): the TPU analog of instance-level
+concurrency is (a) data-parallel batching over mesh devices and (b) a
+mesh-sharded 2D FFT whose transpose step rides ICI all-to-alls inside
+shard_map (BASELINE.json config 5).
+
+Layout convention for the 2D transform: planes [H, W] sharded on H (rows).
+  1. row FFTs (axis -1) — fully local
+  2. all_to_all (tiled) swaps the sharded axis: [H/D, W] -> [H, W/D]
+  3. column FFTs over the now-local H axis
+  4. all_to_all back to the canonical row-sharded layout
+Each FFT call is the same four-step MXU core used on one chip.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, PartitionSpec as P
+
+try:
+    from jax import shard_map  # jax >= 0.8
+except ImportError:  # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map
+
+from ..ops.fourstep import fft_planes
+
+__all__ = ["fft_batch_sharded", "fft2_sharded", "make_mesh"]
+
+
+def make_mesh(n_devices: int | None = None, axis: str = "x") -> Mesh:
+    devs = jax.devices()[: (n_devices or jax.device_count())]
+    return Mesh(devs, (axis,))
+
+
+def fft_batch_sharded(xre, xim, mesh: Mesh, inverse: bool = False, axis: str = "x"):
+    """Data-parallel batched FFT: batch axis sharded over the mesh; each
+    device runs the single-chip four-step core on its shard (no collectives)."""
+    fn = shard_map(
+        partial(fft_planes, inverse=inverse),
+        mesh=mesh,
+        in_specs=(P(axis, None), P(axis, None)),
+        out_specs=(P(axis, None), P(axis, None)),
+    )
+    return fn(xre, xim)
+
+
+def _swap_sharded_axis(x, axis_name: str, reverse: bool = False):
+    """ICI transpose exchange (tiled all-to-all).
+
+    forward: [..., local_rows, full_cols] -> [..., full_rows, local_cols]
+    reverse: [..., full_rows, local_cols] -> [..., local_rows, full_cols]
+    """
+    nd = x.ndim
+    if reverse:
+        return lax.all_to_all(x, axis_name, split_axis=nd - 2,
+                              concat_axis=nd - 1, tiled=True)
+    return lax.all_to_all(x, axis_name, split_axis=nd - 1, concat_axis=nd - 2,
+                          tiled=True)
+
+
+def fft2_sharded(xre, xim, mesh: Mesh, inverse: bool = False, axis: str = "x"):
+    """2D FFT over trailing [H, W] planes, H sharded over the mesh.
+
+    x: [..., H, W] global shape; returns same layout. Batch dims (if any)
+    must be unsharded (or shard them separately via fft_batch_sharded).
+    """
+
+    def local(xre, xim):  # shapes [..., H/D, W]
+        # 1. row FFTs (local, batched over leading dims + local rows)
+        xre, xim = fft_planes(xre, xim, inverse=inverse)
+        # 2. ICI transpose: -> [..., H, W/D]
+        xre = _swap_sharded_axis(xre, axis)
+        xim = _swap_sharded_axis(xim, axis)
+        # 3. column FFTs: bring H to the last axis
+        xre = jnp.swapaxes(xre, -1, -2)
+        xim = jnp.swapaxes(xim, -1, -2)
+        xre, xim = fft_planes(xre, xim, inverse=inverse)
+        xre = jnp.swapaxes(xre, -1, -2)
+        xim = jnp.swapaxes(xim, -1, -2)
+        # 4. transpose back to row-sharded canonical layout
+        xre = _swap_sharded_axis(xre, axis, reverse=True)
+        xim = _swap_sharded_axis(xim, axis, reverse=True)
+        return xre, xim
+
+    spec = P(*([None] * (jnp.ndim(xre) - 2)), axis, None)
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(spec, spec),
+        out_specs=(spec, spec),
+    )
+    return fn(xre, xim)

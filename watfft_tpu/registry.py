@@ -78,8 +78,78 @@ def _mk_jnp_fft(surface: str, dtype: str):
     return make
 
 
+def _mk_stockham(direction: str):
+    """Pallas Stockham kernel surface (f32, time-major). The adapter
+    transposes [batch, n] <-> [n, batch] and pads the batch to 128 lanes so
+    registry-driven tests exercise the kernel; perf runs use the native
+    [n, batch] layout directly (ops/pallas_stockham.py)."""
+    import jax.numpy as jnp
+    from .ops.pallas_stockham import stockham_fft_nb
+
+    def make(n: int):
+        def run(x):
+            x = np.asarray(x)
+            squeeze = x.ndim == 1
+            x = np.atleast_2d(x).astype(np.complex64)
+            b = x.shape[0]
+            bp = max(128, ((b + 127) // 128) * 128)
+            xre = np.zeros((n, bp), np.float32)
+            xim = np.zeros((n, bp), np.float32)
+            xre[:, :b] = x.real.T
+            xim[:, :b] = x.imag.T
+            yre, yim = stockham_fft_nb(jnp.asarray(xre), jnp.asarray(xim),
+                                       inverse=(direction == "inverse"))
+            out = (np.asarray(yre)[:, :b] + 1j * np.asarray(yim)[:, :b]).T
+            return out[0] if squeeze else out
+        return run
+    return make
+
+
+def _mk_rfft_pallas(direction: str):
+    """Fused Pallas real-FFT surface (f32, time-major); adapter as above."""
+    import jax.numpy as jnp
+    from .ops.pallas_rfft import rfft_nb, irfft_nb
+
+    def make(n: int):
+        m = n // 2
+
+        def run(x):
+            x = np.asarray(x)
+            squeeze = x.ndim == 1
+            x2 = np.atleast_2d(x)
+            b = x2.shape[0]
+            bp = max(128, ((b + 127) // 128) * 128)
+            if direction == "forward":
+                xt = np.zeros((n, bp), np.float32)
+                xt[:, :b] = np.real(x2).T
+                yre, yim = rfft_nb(jnp.asarray(xt))
+                out = (np.asarray(yre)[:, :b] + 1j * np.asarray(yim)[:, :b]).T
+            else:
+                x2 = x2.astype(np.complex64)
+                xre = np.zeros((m + 1, bp), np.float32)
+                xim = np.zeros((m + 1, bp), np.float32)
+                xre[:, :b] = x2.real.T
+                xim[:, :b] = x2.imag.T
+                out = np.asarray(irfft_nb(jnp.asarray(xre), jnp.asarray(xim)))[:, :b].T
+            return out[0] if squeeze else out
+        return run
+    return make
+
+
 def _build_registry() -> list[SurfaceEntry]:
     out: list[SurfaceEntry] = []
+    for surface, direction in (("complex-forward", "forward"),
+                               ("complex-inverse", "inverse")):
+        out.append(SurfaceEntry(
+            name="stockham-pallas", surface=surface, dtype="float32",
+            min_size=2, max_size=4096, flagship=False, baseline=False,
+            make=_mk_stockham(direction)))
+    for surface, direction in (("real-forward", "forward"),
+                               ("real-inverse", "inverse")):
+        out.append(SurfaceEntry(
+            name="rfft-pallas", surface=surface, dtype="float32",
+            min_size=8, max_size=8192, flagship=False, baseline=False,
+            make=_mk_rfft_pallas(direction)))
     for dtype in ("float32", "float64"):
         max_n = 1 << 20
         for surface, kind, direction in (

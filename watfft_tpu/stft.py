@@ -1,0 +1,131 @@
+"""STFT / spectrogram pipeline — the library-side port of the reference's
+playground DSP (playground/src/spectrogram.js: window functions at :15-30,
+zero-padding, log/mel frequency scales; SURVEY.md §2.2), turned into
+batched TPU-friendly ops. This is also the workload behind BASELINE.json
+config 4 (4096 independent N=1024 transforms packed along the lane axis).
+
+All functions are jit-friendly and operate on real signals [..., t].
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+__all__ = ["get_window", "frame", "stft", "istft", "spectrogram",
+           "mel_filterbank"]
+
+
+def get_window(name: str, n: int, dtype=np.float32) -> np.ndarray:
+    """Analysis windows (reference: playground/src/spectrogram.js:15-30).
+    Periodic (DFT-even) variants, f64 host math."""
+    t = np.arange(n) / n
+    if name in ("rect", "rectangular", "boxcar"):
+        w = np.ones(n)
+    elif name == "hann":
+        w = 0.5 - 0.5 * np.cos(2 * np.pi * t)
+    elif name == "hamming":
+        w = 0.54 - 0.46 * np.cos(2 * np.pi * t)
+    elif name == "blackman":
+        w = (0.42 - 0.5 * np.cos(2 * np.pi * t)
+             + 0.08 * np.cos(4 * np.pi * t))
+    elif name == "blackman-harris":
+        w = (0.35875 - 0.48829 * np.cos(2 * np.pi * t)
+             + 0.14128 * np.cos(4 * np.pi * t)
+             - 0.01168 * np.cos(6 * np.pi * t))
+    else:
+        raise ValueError(f"unknown window {name!r}")
+    return w.astype(dtype)
+
+
+def frame(x, frame_length: int, hop: int):
+    """[..., t] -> [..., num_frames, frame_length] sliding frames.
+
+    Expressed as a gather-free reshape pipeline: pad to full coverage, then
+    strided window extraction via dynamic_slice-free indexing (XLA lowers
+    the take to an efficient gather; frames are static-shaped).
+    """
+    t = x.shape[-1]
+    num = max(0, (t - frame_length) // hop + 1)
+    idx = np.arange(num)[:, None] * hop + np.arange(frame_length)[None, :]
+    return jnp.take(x, jnp.asarray(idx), axis=-1)
+
+
+def stft(x, n_fft: int = 1024, hop: int = 256, window: str = "hann"):
+    """Batched STFT: real [..., t] -> (re, im) planes [..., frames, n_fft//2+1].
+
+    The frame batch rides the lane axis through the flagship rfft kernel
+    path on TPU (pack frames, one fused kernel call); elsewhere it uses the
+    portable four-step surface.
+    """
+    from .api import RFFTContext
+    w = jnp.asarray(get_window(window, n_fft))
+    frames = frame(x, n_fft, hop) * w
+    ctx = _ctx_cache_get(n_fft)
+    return ctx.forward_planes(frames)
+
+
+def istft(sre, sim, n_fft: int = 1024, hop: int = 256, window: str = "hann",
+          length: int | None = None):
+    # NOTE: plan contexts are created eagerly (outside any jit) — creating
+    # them under a trace would cache tracer-backed tables.
+    """Inverse STFT with windowed overlap-add (COLA normalization)."""
+    ctx = _ctx_cache_get(n_fft)
+    frames = ctx.inverse_planes(sre, sim)  # [..., num, n_fft]
+    w = jnp.asarray(get_window(window, n_fft))
+    frames = frames * w
+    num = frames.shape[-2]
+    t = (num - 1) * hop + n_fft
+    batch = frames.shape[:-2]
+    out = jnp.zeros((*batch, t), frames.dtype)
+    norm = jnp.zeros((t,), frames.dtype)
+    for i in range(num):  # static unroll; num is static under jit
+        out = out.at[..., i * hop: i * hop + n_fft].add(frames[..., i, :])
+        norm = norm.at[i * hop: i * hop + n_fft].add(w * w)
+    out = out / jnp.maximum(norm, 1e-8)
+    if length is not None:
+        out = out[..., :length]
+    return out
+
+
+def spectrogram(x, n_fft: int = 1024, hop: int = 256, window: str = "hann",
+                log: bool = True, eps: float = 1e-10):
+    """Power spectrogram [..., frames, bins]; log-magnitude by default."""
+    re, im = stft(x, n_fft=n_fft, hop=hop, window=window)
+    p = re * re + im * im
+    return jnp.log(p + eps) if log else p
+
+
+def mel_filterbank(n_mels: int, n_fft: int, sample_rate: float,
+                   fmin: float = 0.0, fmax: float | None = None) -> np.ndarray:
+    """[n_mels, n_fft//2+1] triangular mel filters (playground mel scale
+    analog), host-built in f64."""
+    fmax = fmax or sample_rate / 2
+    def hz_to_mel(f):
+        return 2595.0 * np.log10(1.0 + f / 700.0)
+    def mel_to_hz(m):
+        return 700.0 * (10.0 ** (m / 2595.0) - 1.0)
+    mels = np.linspace(hz_to_mel(fmin), hz_to_mel(fmax), n_mels + 2)
+    freqs = mel_to_hz(mels)
+    bins = np.floor((n_fft + 1) * freqs / sample_rate).astype(int)
+    fb = np.zeros((n_mels, n_fft // 2 + 1))
+    for i in range(n_mels):
+        a, b, c = bins[i], bins[i + 1], bins[i + 2]
+        if b > a:
+            fb[i, a:b] = (np.arange(a, b) - a) / (b - a)
+        if c > b:
+            fb[i, b:c] = (c - np.arange(b, c)) / (c - b)
+    return fb.astype(np.float32)
+
+
+_rfft_ctxs: dict = {}
+
+
+def _ctx_cache_get(n_fft: int):
+    from .api import RFFTContext
+    if n_fft not in _rfft_ctxs:
+        _rfft_ctxs[n_fft] = RFFTContext(n_fft, "float32")
+    return _rfft_ctxs[n_fft]
