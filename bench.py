@@ -4,12 +4,13 @@
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
-value = geometric-mean speedup of the flagship kernel over jnp.fft across the
-BASELINE.json N sweep (N=16-4096), measured as forward+inverse roundtrip
-chains (R roundtrips inside one jit) so the axon tunnel's ~6 ms per-dispatch
-overhead cancels out of the comparison. Each side runs in its preferred
+value = geometric-mean speedup of the flagship kernel over jnp.fft across
+the BASELINE.json N sweep (N=16-4096). Timing = seconds per forward+inverse
+roundtrip measured as the SLOPE between two lax.fori_loop chain lengths
+(cancels the axon tunnel's ~28 ms fixed dispatch/sync overhead; see
+watfft_tpu/bench/harness.py:time_chain). Each side runs in its preferred
 layout with split-plane I/O: ours time-major [n, batch] (batch on lanes),
-jnp.fft batch-major [batch, n] (transform on the minor axis).
+jnp.fft batch-major [batch, n].
 
 vs_baseline = value / 2.0 (the BASELINE target is >=2x jnp.fft per chip).
 Details go to stderr + benchmarks/results/headline.latest.json.
@@ -17,27 +18,15 @@ Details go to stderr + benchmarks/results/headline.latest.json.
 
 import json
 import math
+import os
 import sys
-import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 
 SIZES = [16, 64, 256, 1024, 2048, 4096]
 TOTAL_ELEMS = 1 << 21
-ROUNDTRIPS = 16
-
-
-def _timeit(fn, *args, reps=5):
-    import jax
-    out = fn(*args)
-    jax.block_until_ready(out)
-    best = float("inf")
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        out = fn(*args)
-        jax.block_until_ready(out)
-        best = min(best, time.perf_counter() - t0)
-    return best
 
 
 def main(full: bool = False) -> None:
@@ -45,12 +34,11 @@ def main(full: bool = False) -> None:
     import jax.numpy as jnp
     from watfft_tpu.api import FFTContext
     from watfft_tpu.ops.pallas_stockham import stockham_fft_nb
-    from watfft_tpu.bench.harness import save_results, BenchResult
+    from watfft_tpu.bench.harness import save_results, BenchResult, time_chain
 
     rng = np.random.default_rng(12345)
     results = []
     speedups = []
-    R = ROUNDTRIPS
 
     for n in SIZES:
         b = max(128, TOTAL_ELEMS // n)
@@ -61,24 +49,20 @@ def main(full: bool = False) -> None:
         xre_t = jnp.asarray(np.ascontiguousarray(host_re.T))
         xim_t = jnp.asarray(np.ascontiguousarray(host_im.T))
 
-        @jax.jit
-        def jfft_chain(a, bb):
-            z = a + 1j * bb
-            for _ in range(R):
-                z = jnp.fft.ifft(jnp.fft.fft(z))
+        def jstep(c):
+            a, bb = c
+            z = jnp.fft.ifft(jnp.fft.fft(a + 1j * bb))
             return z.real, z.imag
 
-        t_base = _timeit(jfft_chain, xre, xim) / (2 * R)
+        t_base = time_chain(jstep, (xre, xim))
 
         ours_name = "stockham-pallas"
         try:
-            @jax.jit
-            def pal_chain(a, bb):
-                for _ in range(R):
-                    a, bb = stockham_fft_nb(a, bb, inverse=False)
-                    a, bb = stockham_fft_nb(a, bb, inverse=True)
-                return a, bb
-            t_ours = _timeit(pal_chain, xre_t, xim_t) / (2 * R)
+            def pstep(c):
+                a, bb = c
+                a, bb = stockham_fft_nb(a, bb, inverse=False)
+                return stockham_fft_nb(a, bb, inverse=True)
+            t_ours = time_chain(pstep, (xre_t, xim_t))
         except Exception as e:
             print(f"  n={n}: pallas failed ({str(e)[:80]}), using fourstep",
                   file=sys.stderr)
@@ -86,25 +70,49 @@ def main(full: bool = False) -> None:
             ctx = FFTContext(n, "float32")
             ft, it_ = ctx._fwd_tables, ctx._inv_tables
 
-            @jax.jit
-            def four_chain(a, bb):
-                for _ in range(R):
-                    a, bb = ctx._planes_fn(a, bb, ft)
-                    a, bb = ctx._planes_fn(a, bb, it_)
-                return a, bb
-            t_ours = _timeit(four_chain, xre, xim) / (2 * R)
+            def fstep(c):
+                a, bb = c
+                a, bb = ctx._planes_fn(a, bb, ft)
+                return ctx._planes_fn(a, bb, it_)
+            t_ours = time_chain(fstep, (xre, xim))
 
         speedups.append(t_base / t_ours)
+        # ops/s here counts single transforms: one roundtrip = 2 transforms
         results.append(BenchResult(name=f"watfft/{ours_name}/f32/n{n}",
-                                   ops_per_sec=b / t_ours, cv=0.0,
-                                   batch=2 * R, items_per_call=b, samples=[]))
+                                   ops_per_sec=2 * b / t_ours, cv=0.0,
+                                   batch=b, items_per_call=2 * b, samples=[]))
         results.append(BenchResult(name=f"jnp.fft/f32/n{n}",
-                                   ops_per_sec=b / t_base, cv=0.0,
-                                   batch=2 * R, items_per_call=b, samples=[]))
-        print(f"  n={n:<6} ours({ours_name})={b/t_ours:,.0f}/s  "
-              f"jnp={b/t_base:,.0f}/s  x{speedups[-1]:.2f}", file=sys.stderr)
+                                   ops_per_sec=2 * b / t_base, cv=0.0,
+                                   batch=b, items_per_call=2 * b, samples=[]))
+        print(f"  n={n:<6} ours({ours_name})={2*b/t_ours:,.0f}/s  "
+              f"jnp={2*b/t_base:,.0f}/s  x{speedups[-1]:.2f}", file=sys.stderr)
 
     geomean = math.exp(sum(map(math.log, speedups)) / len(speedups))
+
+    if full:
+        from watfft_tpu.ops.pallas_rfft import rfft_nb, irfft_nb
+        for n in (256, 1024, 4096):
+            b = max(128, TOTAL_ELEMS // n)
+            xr_t = jnp.asarray(rng.uniform(-1, 1, (n, b)).astype(np.float32))
+
+            def rstep(c):
+                re, im = rfft_nb(c)
+                return irfft_nb(re, im)
+            t_r = time_chain(rstep, xr_t)
+
+            xr = jnp.asarray(rng.uniform(-1, 1, (b, n)).astype(np.float32))
+
+            def jrstep(c):
+                return jnp.fft.irfft(jnp.fft.rfft(c), n=n)
+            t_jr = time_chain(jrstep, xr)
+            print(f"  [real] n={n:<6} ours={2*b/t_r:,.0f}/s "
+                  f"jnp={2*b/t_jr:,.0f}/s x{t_jr/t_r:.2f}", file=sys.stderr)
+            results.append(BenchResult(name=f"watfft/rfft-pallas/f32/n{n}",
+                                       ops_per_sec=2 * b / t_r, cv=0.0,
+                                       batch=b, items_per_call=2 * b, samples=[]))
+            results.append(BenchResult(name=f"jnp.fft/real/f32/n{n}",
+                                       ops_per_sec=2 * b / t_jr, cv=0.0,
+                                       batch=b, items_per_call=2 * b, samples=[]))
 
     try:
         path = save_results("headline", results)

@@ -28,6 +28,39 @@ TARGET_SAMPLE_MS = 150.0
 NUM_SAMPLES = 10
 
 
+def time_chain(step, args, r1: int = 32, r2: int = 160, reps: int = 3) -> float:
+    """Seconds per `step` iteration, measured as the slope between two
+    lax.fori_loop chain lengths.
+
+    Why: on the axon tunnel a timed call carries ~28 ms of fixed RPC/sync
+    overhead and `block_until_ready` alone does not wait for execution, so
+    single-call timings measure the tunnel. A runtime fori_loop chain (a)
+    cannot be constant-folded the way an unrolled op chain can, and (b) the
+    slope (t(r2)-t(r1))/(r2-r1) cancels every fixed cost. Sync is a [1,1]
+    readback of the first output leaf.
+    """
+    import functools
+    import numpy as np
+
+    @functools.partial(jax.jit, static_argnames=("r",))
+    def chain(carry, r):
+        return jax.lax.fori_loop(0, r, lambda i, c: step(c), carry)
+
+    def run(r):
+        out = chain(args, r=r)
+        _ = np.asarray(jax.tree.leaves(out)[0][:1, :1])
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            out = chain(args, r=r)
+            _ = np.asarray(jax.tree.leaves(out)[0][:1, :1])
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t1, t2 = run(r1), run(r2)
+    return max((t2 - t1) / (r2 - r1), 1e-9)
+
+
 @dataclass
 class BenchResult:
     name: str

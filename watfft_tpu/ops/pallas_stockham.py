@@ -1,4 +1,4 @@
-"""Flagship Pallas kernel: batched Stockham radix-4 FFT, VMEM-resident.
+"""Flagship Pallas kernel: batched mixed-radix Stockham FFT, VMEM-resident.
 
 The TPU-native re-axing of wat-fft's split-format radix-4 core
 (modules/fft_split_native_f32.wat:748-1158): where the reference packs 4
@@ -10,18 +10,24 @@ zero lane shuffles (SURVEY.md §7 design stance). Mirrored features:
 * split re/im planes end-to-end (fft_split_native_f32.wat:2-5)
 * host-precomputed per-stage twiddle columns staged once into VMEM
   (analog of precompute_twiddles_split :151-192)
-* twiddle-free lead stages: the radix-2 lead for odd log2(n)
-  ($stage_r2_lead :710-743) and the l=1 radix-4 first stage
-* native inverse: conjugated twiddle tables + sign-flipped -i rotations,
-  with 1/n folded into the FINAL stage (the dual module folds 1/n into the
-  final butterfly, fft_stockham_f32_dual.wat:1336-1337) — identical pass
-  count to forward
-* all stages ping-pong between VMEM values (the A/B buffer analog,
-  fft_split_native_f32.wat:7-19) — one HBM read + one HBM write total.
+* twiddle-free lead stage (l=1; generalizes $stage_r2_lead :710-743)
+* native inverse: sign-flipped constants + conjugated twiddle tables with
+  1/n folded into the FINAL stage (the dual module folds 1/n into the final
+  butterfly, fft_stockham_f32_dual.wat:1336-1337) — identical pass count
+* all stages ping-pong between VMEM values — one HBM read + one HBM write.
 
-Data layout: planes [n, batch] ("time-major"), batch on lanes. The Stockham
-stage stores C[j*l + k] = FFT_l(x[j::r])[k]; each stage combines 4 contiguous
-row-blocks and interleaves l-row groups — pure sublane movement.
+Radix choice (Exp 4): each Stockham stage pays one full interleave
+(sublane permute) pass, and permutes dominate over butterfly arithmetic on
+the VPU, so stages use the LARGEST radix available: n = 16^a * r with one
+remainder stage r in {2,4,8}. The R-point butterfly across the R part
+arrays is a recursive radix-2 network with scalar constant twiddles
+(w_R^q), so a radix-16 stage does the arithmetic of two radix-4 stages but
+only ONE memory permute.
+
+Data layout: planes [n, batch] (batch on lanes). The Stockham invariant:
+after a stage with cumulative length l, C[j*l + k] = FFT_l(x[j::n/l])[k];
+each stage combines R contiguous row-blocks and interleaves l-row groups —
+pure sublane movement.
 """
 
 from __future__ import annotations
@@ -35,72 +41,69 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["stockham_fft_nb", "make_twiddle_pack", "stage_plan"]
+__all__ = ["stockham_fft_nb", "make_twiddle_pack", "stage_plan", "run_stages"]
 
 
-def stage_plan(n: int) -> list[tuple[str, int]]:
-    """Stage sequence: optional radix-2 lead (odd log2 n), then radix-4
-    stages with l = lead, 4*lead, ... Each entry is (kind, l)."""
+def stage_plan(n: int) -> list[tuple[int, int]]:
+    """Stage sequence as (R, l) pairs: radix-16 stages with one {2,4,8}
+    remainder stage second (l=16), so every interleave view has a >=8-sized
+    second-minor dim where possible."""
     m = n.bit_length() - 1
-    stages: list[tuple[str, int]] = []
+    radices: list[int] = []
+    while m >= 4:
+        radices.append(16)
+        m -= 4
+    if m:
+        # place the small remainder right after the first 16 (l=16) if one
+        # exists; at the front otherwise (tiny n)
+        rem = 1 << m
+        if radices:
+            radices.insert(1, rem)
+        else:
+            radices.append(rem)
+    stages = []
     l = 1
-    if m % 2 == 1:
-        stages.append(("r2", 1))
-        l = 2
-    while l < n:
-        stages.append(("r4", l))
-        l *= 4
+    for r in radices:
+        stages.append((r, l))
+        l *= r
     return stages
 
 
 def make_twiddle_pack(n: int, inverse: bool) -> tuple[np.ndarray, np.ndarray, list[int]]:
-    """Pack per-stage twiddle columns w_{4l}^{p*(row mod l)} for p=1,2,3 into
-    [total, 1] f32 planes (f64 host math). Returns (re, im, offsets) where
-    offsets[i] is the row offset of stage i's block (3*(n/4) rows per
-    twiddled stage). The final stage's twiddles carry the folded 1/n for the
-    inverse. l==1 stages are twiddle-free and get no block."""
+    """Pack per-stage twiddle columns w_{R*l}^{p*(row mod l)}, p=1..R-1, into
+    [total, 1] f32 planes (f64 host math, phases reduced mod R*l). offsets[i]
+    = row offset of stage i's block ((R-1)*(n/R) rows); -1 for the
+    twiddle-free l==1 stage. The final stage carries the folded 1/n for the
+    inverse."""
     sign = +1.0 if inverse else -1.0
     res, ims, offsets = [], [], []
     off = 0
     stages = stage_plan(n)
-    for idx, (kind, l) in enumerate(stages):
-        if kind != "r4" or l == 1:
+    for idx, (r, l) in enumerate(stages):
+        if l == 1:
             offsets.append(-1)
             continue
-        rows = n // 4
-        k = np.arange(rows) % l
+        rows = n // r
+        k = np.arange(rows, dtype=np.int64) % l
         scale = (1.0 / n) if (inverse and idx == len(stages) - 1) else 1.0
-        for p in (1, 2, 3):
-            ang = sign * 2.0 * np.pi * p * k / (4 * l)
+        for p in range(1, r):
+            ang = sign * 2.0 * np.pi * ((p * k) % (r * l)) / (r * l)
             res.append((scale * np.cos(ang)).astype(np.float32))
             ims.append((scale * np.sin(ang)).astype(np.float32))
         offsets.append(off)
-        off += 3 * rows
-    if not res:  # tiny n: single twiddle-free stage; keep a dummy row
+        off += (r - 1) * rows
+    if not res:  # single twiddle-free stage; keep a dummy row
         res, ims = [np.ones(1, np.float32)], [np.zeros(1, np.float32)]
     re = np.concatenate(res).reshape(-1, 1)
     im = np.concatenate(ims).reshape(-1, 1)
     return re, im, offsets
 
 
-def _r2_stage(cre, cim, n):
-    h = n // 2
-    ere, eim = cre[:h], cim[:h]
-    ore, oim = cre[h:], cim[h:]
-    ure, uim = ere + ore, eim + oim
-    vre, vim = ere - ore, eim - oim
-    # interleave single rows: [h, B] x2 -> [h, 2, B] -> [n, B]
-    b = cre.shape[-1]
-    out_re = _interleave([ure, vre], h, 1, b)
-    out_im = _interleave([uim, vim], h, 1, b)
-    return out_re, out_im
-
-
 def _interleave(parts, g, l, b):
     """Stockham output permute: R parts of [g*l, b] -> [n, b] with rows
-    j'*R*l + q*l + k. For l < 8 a [g, R, l, b] view would pad the sublane
-    dim 8x in Mosaic's (8, 128) tiling; merging (l, b) into the minor dim
-    keeps the pad at 2x (R=4 -> 8)."""
+    j'*R*l + q*l + k. For l*(second-minor) < 8 a [g, R, l, b] view would pad
+    the sublane dim up to 8x in Mosaic's (8, 128) tiling; merging (l, b)
+    into the minor dim keeps the pad bounded by the R dim instead."""
     n = len(parts) * g * l
     if l >= 8:
         out = jnp.stack([p.reshape(g, l, b) for p in parts], axis=1)
@@ -109,14 +112,50 @@ def _interleave(parts, g, l, b):
     return out.reshape(n, b)
 
 
-def _r4_stage(cre, cim, n, l, tw, inverse, scale0):
-    q = n // 4
+def _small_dft(res, ims, inverse: bool):
+    """R-point DFT across R part-arrays via a recursive radix-2 network with
+    scalar constant twiddles. X_q = sum_p part_p * w_R^{p*q},
+    w_R = exp(-+2i pi / R). R must be a power of two."""
+    r = len(res)
+    if r == 1:
+        return res, ims
+    ere, eim = _small_dft(res[0::2], ims[0::2], inverse)
+    ore, oim = _small_dft(res[1::2], ims[1::2], inverse)
+    half = r // 2
+    sign = +1.0 if inverse else -1.0
+    out_re = [None] * r
+    out_im = [None] * r
+    for q in range(half):
+        ang = sign * 2.0 * math.pi * q / r
+        wr, wi = math.cos(ang), math.sin(ang)
+        orq, oiq = ore[q], oim[q]
+        if q == 0:  # w = 1
+            tre, tim = orq, oiq
+        elif 4 * q == r:  # w = -+i: (re,im) -> (+-im, -+re)
+            if inverse:
+                tre, tim = -oiq, orq
+            else:
+                tre, tim = oiq, -orq
+        else:
+            wr32, wi32 = np.float32(wr), np.float32(wi)
+            tre = orq * wr32 - oiq * wi32
+            tim = orq * wi32 + oiq * wr32
+        out_re[q] = ere[q] + tre
+        out_im[q] = eim[q] + tim
+        out_re[q + half] = ere[q] - tre
+        out_im[q + half] = eim[q] - tim
+    return out_re, out_im
+
+
+def _stage(cre, cim, n, r, l, tw, inverse, scale0):
+    """One mixed-radix Stockham stage on [n, b] values."""
+    q = n // r
     b = cre.shape[-1]
-    bs_re = [cre[p * q:(p + 1) * q] for p in range(4)]
-    bs_im = [cim[p * q:(p + 1) * q] for p in range(4)]
+    bs_re = [cre[p * q:(p + 1) * q] for p in range(r)]
+    bs_im = [cim[p * q:(p + 1) * q] for p in range(r)]
     if tw is not None:
         twre, twim = tw
-        for p in (1, 2, 3):
+        for p in range(1, r):
             wr = twre[(p - 1) * q:p * q]
             wi = twim[(p - 1) * q:p * q]
             br, bi = bs_re[p], bs_im[p]
@@ -126,25 +165,12 @@ def _r4_stage(cre, cim, n, l, tw, inverse, scale0):
         bs_re[0] = bs_re[0] * scale0
         bs_im[0] = bs_im[0] * scale0
         if tw is None:  # twiddle-free final stage: scale every term
-            for p in (1, 2, 3):
+            for p in range(1, r):
                 bs_re[p] = bs_re[p] * scale0
                 bs_im[p] = bs_im[p] * scale0
-    t0re, t0im = bs_re[0] + bs_re[2], bs_im[0] + bs_im[2]
-    t1re, t1im = bs_re[0] - bs_re[2], bs_im[0] - bs_im[2]
-    t2re, t2im = bs_re[1] + bs_re[3], bs_im[1] + bs_im[3]
-    t3re, t3im = bs_re[1] - bs_re[3], bs_im[1] - bs_im[3]
-    if not inverse:  # -i * t3 = (t3im, -t3re)
-        rre, rim = t3im, -t3re
-    else:            # +i * t3 = (-t3im, t3re)
-        rre, rim = -t3im, t3re
-    x0re, x0im = t0re + t2re, t0im + t2im
-    x1re, x1im = t1re + rre, t1im + rim
-    x2re, x2im = t0re - t2re, t0im - t2im
-    x3re, x3im = t1re - rre, t1im - rim
-    g = n // (4 * l)
-    out_re = _interleave([x0re, x1re, x2re, x3re], g, l, b)
-    out_im = _interleave([x0im, x1im, x2im, x3im], g, l, b)
-    return out_re, out_im
+    xs_re, xs_im = _small_dft(bs_re, bs_im, inverse)
+    g = n // (r * l)
+    return (_interleave(xs_re, g, l, b), _interleave(xs_im, g, l, b))
 
 
 def run_stages(cre, cim, n, inverse, offsets, stages, twre, twim,
@@ -153,25 +179,17 @@ def run_stages(cre, cim, n, inverse, offsets, stages, twre, twim,
 
     twre/twim: packed per-stage twiddle column values ([total, 1]).
     fold_scale: fold 1/n into the final stage for the inverse (native
-    normalized inverse; set False when the caller folds scaling elsewhere,
-    e.g. the irfft pre-process)."""
+    normalized inverse; set False when the caller folds scaling elsewhere)."""
     inv_scale = jnp.float32(1.0 / n)
-    for idx, (kind, l) in enumerate(stages):
+    for idx, (r, l) in enumerate(stages):
         is_final = idx == len(stages) - 1
-        do_scale = inverse and is_final and fold_scale
-        if kind == "r2":
-            cre, cim = _r2_stage(cre, cim, n)
-            if do_scale:
-                cre = cre * inv_scale
-                cim = cim * inv_scale
-            continue
         tw = None
         if offsets[idx] >= 0:
             o = offsets[idx]
-            rows = 3 * (n // 4)
+            rows = (r - 1) * (n // r)
             tw = (twre[o:o + rows], twim[o:o + rows])
-        scale0 = inv_scale if do_scale else None
-        cre, cim = _r4_stage(cre, cim, n, l, tw, inverse, scale0)
+        scale0 = inv_scale if (inverse and is_final and fold_scale) else None
+        cre, cim = _stage(cre, cim, n, r, l, tw, inverse, scale0)
     return cre, cim
 
 
@@ -223,15 +241,16 @@ class _TwCache:
 
 
 def _pick_tile(n: int, b: int) -> int:
-    """Lane-tile so peak VMEM stays under the 16 MB limit. Measured: the
-    value-style stage pipeline keeps ~17 [n, tb] f32 arrays live (stage
-    temporaries + double-buffered in/out blocks), so keep n*tb <= 128K
-    elements (~8.5 MB peak). n >= 2048 drops below full lane width — the
-    large-n path should switch to the two-pass four-step instead."""
-    max_elems = 128 * 1024
-    tb = max(128, min(512, max_elems // n))  # lane blocks must be >=128
-    # round down to a power of two <= b
-    while tb > b:
+    """Lane-tile choice, from the on-chip sweep (docs/EXPERIMENT_LOG.md
+    Exp 3/5): small n wants wide tiles (amortize per-grid-step cost), large
+    n is VMEM-bound (peak live set ~17 [n, tb] f32 arrays)."""
+    if n <= 32:
+        tb = 1024
+    elif n <= 512:
+        tb = 256
+    else:
+        tb = 128
+    while tb > b and tb > 128:
         tb //= 2
     return tb
 

@@ -37,16 +37,24 @@ def is_power_of_two(n: int) -> bool:
 
 
 def dft_matrix(n: int, sign: float, dtype=np.float64, scale: float = 1.0):
-    """(W_re, W_im) for W[j, k] = scale * exp(sign * 2i pi j k / n), f64 math."""
-    k = np.arange(n)
-    ang = sign * 2.0 * np.pi * np.outer(k, k) / n
+    """(W_re, W_im) for W[j, k] = scale * exp(sign * 2i pi j k / n).
+
+    The phase index j*k is reduced mod n BEFORE the trig call, so arguments
+    stay in [0, 2pi) and f64 sin/cos are fully accurate — the fix for the
+    reference's f64 accuracy plateau caused by large-argument trig
+    (docs/OPTIMIZATION_PLAN.md:150; cross-validated against the long-double
+    native oracle, native/watfft_native.cpp)."""
+    k = np.arange(n, dtype=np.int64)
+    ang = sign * 2.0 * np.pi * (np.outer(k, k) % n) / n
     return (scale * np.cos(ang)).astype(dtype), (scale * np.sin(ang)).astype(dtype)
 
 
 def twiddle_grid(n1: int, n2: int, sign: float, dtype=np.float64):
-    """Four-step twiddle grid T[j1, k2] = exp(sign * 2i pi j1 k2 / (n1*n2))."""
+    """Four-step twiddle grid T[j1, k2] = exp(sign * 2i pi j1 k2 / (n1*n2)),
+    with mod-n phase reduction (see dft_matrix)."""
     n = n1 * n2
-    ang = sign * 2.0 * np.pi * np.outer(np.arange(n1), np.arange(n2)) / n
+    jk = np.outer(np.arange(n1, dtype=np.int64), np.arange(n2, dtype=np.int64)) % n
+    ang = sign * 2.0 * np.pi * jk / n
     return np.cos(ang).astype(dtype), np.sin(ang).astype(dtype)
 
 

@@ -78,9 +78,10 @@ def dft2(x: np.ndarray) -> np.ndarray:
 
 
 def _dft_matrix(n: int, sign: float) -> np.ndarray:
-    k = np.arange(n)
-    # exp(sign * 2i pi * outer(n, k) / N), built from f64 angles.
-    ang = sign * 2.0 * np.pi * np.outer(k, k) / n
+    k = np.arange(n, dtype=np.int64)
+    # exp(sign * 2i pi * (j*k mod n) / n): phase reduced mod n before the
+    # trig call so f64 sin/cos stay fully accurate at large n.
+    ang = sign * 2.0 * np.pi * (np.outer(k, k) % n) / n
     return np.cos(ang) + 1j * np.sin(ang)
 
 
