@@ -54,7 +54,11 @@ def main(full: bool = False) -> None:
             z = jnp.fft.ifft(jnp.fft.fft(a + 1j * bb))
             return z.real, z.imag
 
-        t_base = time_chain(jstep, (xre, xim))
+        # conservative baseline: best (fastest) of two independent
+        # measurements — run-to-run jitter on the tunnel can be 2-4x and
+        # should never inflate our reported speedup
+        t_base = min(time_chain(jstep, (xre, xim)),
+                     time_chain(jstep, (xre, xim)))
 
         ours_name = "stockham-pallas"
         try:

@@ -119,20 +119,31 @@ class FFTContext(_BaseContext):
     def inverse_planes(self, xre, xim):
         return self._planes_fn(self._prep(xre), self._prep(xim), self._inv_tables)
 
-    # -- time-major [n, batch] entry points (the Pallas hot path) -------------
+    # -- time-major [n, batch] entry points (the Pallas hot paths) ------------
     # Batch rides the 128-lane axis; this is the layout the flagship Stockham
-    # kernel runs butterflies in with zero lane shuffles. f32 only.
+    # kernel runs butterflies in with zero lane shuffles. f32 uses the
+    # mixed-radix kernel directly; f64 uses the double-f32 kernel (TPU-native
+    # f64 tier — hi/lo split planes; ~6e-15 rel err on chip) and accepts /
+    # returns f64 planes, splitting and merging at the boundary.
+    def _nb(self, xre, xim, inverse: bool):
+        if self.dtype == "float32":
+            from .ops.pallas_stockham import stockham_fft_nb
+            return stockham_fft_nb(self._prep(xre), self._prep(xim),
+                                   inverse=inverse)
+        from .ops.doublefloat import df_fft_nb, split_f64, merge_f64
+        rh, rl = split_f64(np.asarray(xre, np.float64))
+        ih, il = split_f64(np.asarray(xim, np.float64))
+        orh, orl, oih, oil = df_fft_nb(jnp.asarray(rh), jnp.asarray(rl),
+                                       jnp.asarray(ih), jnp.asarray(il),
+                                       inverse=inverse)
+        return (merge_f64(np.asarray(orh), np.asarray(orl)),
+                merge_f64(np.asarray(oih), np.asarray(oil)))
+
     def forward_planes_nb(self, xre, xim):
-        from .ops.pallas_stockham import stockham_fft_nb
-        if self.dtype != "float32":
-            raise NotImplementedError("time-major kernel path is f32-only")
-        return stockham_fft_nb(self._prep(xre), self._prep(xim), inverse=False)
+        return self._nb(xre, xim, inverse=False)
 
     def inverse_planes_nb(self, xre, xim):
-        from .ops.pallas_stockham import stockham_fft_nb
-        if self.dtype != "float32":
-            raise NotImplementedError("time-major kernel path is f32-only")
-        return stockham_fft_nb(self._prep(xre), self._prep(xim), inverse=True)
+        return self._nb(xre, xim, inverse=True)
 
     # -- complex-dtype convenience entry points -------------------------------
     def forward(self, x):

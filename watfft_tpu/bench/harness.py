@@ -46,19 +46,25 @@ def time_chain(step, args, r1: int = 32, r2: int = 160, reps: int = 3) -> float:
     def chain(carry, r):
         return jax.lax.fori_loop(0, r, lambda i, c: step(c), carry)
 
-    def run(r):
+    def timed(r):
+        t0 = time.perf_counter()
         out = chain(args, r=r)
         _ = np.asarray(jax.tree.leaves(out)[0][:1, :1])
-        best = float("inf")
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            out = chain(args, r=r)
-            _ = np.asarray(jax.tree.leaves(out)[0][:1, :1])
-            best = min(best, time.perf_counter() - t0)
-        return best
+        return time.perf_counter() - t0
 
-    t1, t2 = run(r1), run(r2)
-    return max((t2 - t1) / (r2 - r1), 1e-9)
+    # warm both lengths (compile), then interleave measurements and take
+    # the median of each before computing the slope — robust to the
+    # multi-ms jitter of individual tunnel round-trips.
+    timed(r1), timed(r2)
+    for attempt in range(2):
+        ts1 = sorted(timed(r1) for _ in range(reps + 2))
+        ts2 = sorted(timed(r2) for _ in range(reps + 2))
+        slope = (ts2[len(ts2) // 2] - ts1[len(ts1) // 2]) / (r2 - r1)
+        if slope > 0:
+            return slope
+        r2 *= 2  # too fast to resolve: lengthen the chain and retry
+        timed(r2)
+    return max(slope, 1e-9)
 
 
 @dataclass

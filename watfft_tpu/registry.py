@@ -136,6 +136,36 @@ def _mk_rfft_pallas(direction: str):
     return make
 
 
+def _mk_doublefloat(inverse: bool):
+    """Double-f32 kernel surface: the TPU-native f64 tier (hi/lo split
+    planes, ~6e-15 rel err on chip)."""
+    import jax.numpy as jnp
+    from .ops.doublefloat import df_fft_nb, split_f64, merge_f64
+
+    def make(n: int):
+        def run(x):
+            x = np.asarray(x, np.complex128)
+            squeeze = x.ndim == 1
+            x2 = np.atleast_2d(x)
+            b = x2.shape[0]
+            bp = max(128, ((b + 127) // 128) * 128)
+            re = np.zeros((n, bp), np.float64)
+            im = np.zeros((n, bp), np.float64)
+            re[:, :b] = x2.real.T
+            im[:, :b] = x2.imag.T
+            rh, rl = split_f64(re)
+            ih, il = split_f64(im)
+            orh, orl, oih, oil = df_fft_nb(jnp.asarray(rh), jnp.asarray(rl),
+                                           jnp.asarray(ih), jnp.asarray(il),
+                                           inverse=inverse)
+            out = (merge_f64(np.asarray(orh), np.asarray(orl))
+                   + 1j * merge_f64(np.asarray(oih), np.asarray(oil)))
+            out = out[:, :b].T
+            return out[0] if squeeze else out
+        return run
+    return make
+
+
 def _build_registry() -> list[SurfaceEntry]:
     out: list[SurfaceEntry] = []
     for surface, direction in (("complex-forward", "forward"),
@@ -150,6 +180,12 @@ def _build_registry() -> list[SurfaceEntry]:
             name="rfft-pallas", surface=surface, dtype="float32",
             min_size=8, max_size=8192, flagship=False, baseline=False,
             make=_mk_rfft_pallas(direction)))
+    for surface, inverse in (("complex-forward", False),
+                             ("complex-inverse", True)):
+        out.append(SurfaceEntry(
+            name="doublefloat-pallas", surface=surface, dtype="float64",
+            min_size=2, max_size=4096, flagship=False, baseline=False,
+            make=_mk_doublefloat(inverse)))
     for dtype in ("float32", "float64"):
         max_n = 1 << 20
         for surface, kind, direction in (
