@@ -1,0 +1,64 @@
+"""2D FFT (single-chip) and large-N four-step tests."""
+
+import numpy as np
+import pytest
+
+from watfft_tpu.ops.fft2 import fft2_planes
+from watfft_tpu.ops.large import fft_large, large_split
+from watfft_tpu.reference import dft as ref
+
+
+@pytest.mark.parametrize("h,w", [(128, 128), (256, 128)])
+def test_fft2_matches_reference(h, w):
+    rng = ref.seeded_rng(h + w)
+    x = rng.uniform(-1, 1, (h, w)) + 1j * rng.uniform(-1, 1, (h, w))
+    re, im = fft2_planes(x.real.astype(np.float32), x.imag.astype(np.float32))
+    got = np.asarray(re) + 1j * np.asarray(im)
+    expected = ref.dft2(x)
+    err = np.max(np.abs(got - expected)) / np.max(np.abs(expected))
+    assert err < 5e-6, err
+
+
+def test_fft2_batched_roundtrip():
+    rng = ref.seeded_rng(3)
+    x = rng.uniform(-1, 1, (2, 128, 128)).astype(np.float32)
+    y = rng.uniform(-1, 1, (2, 128, 128)).astype(np.float32)
+    re, im = fft2_planes(x, y)
+    bre, bim = fft2_planes(re, im, inverse=True)
+    assert np.max(np.abs(np.asarray(bre) - x)) < 1e-4
+    assert np.max(np.abs(np.asarray(bim) - y)) < 1e-4
+
+
+def test_large_split_factors():
+    for log in range(14, 21):
+        n1, n2 = large_split(1 << log)
+        assert n1 * n2 == 1 << log
+        assert 128 <= n1 <= 4096 and 128 <= n2 <= 4096
+
+
+@pytest.mark.parametrize("log", [14, 16])
+def test_fft_large_matches_fftpack(log):
+    n = 1 << log
+    rng = ref.seeded_rng(log)
+    x = rng.uniform(-1, 1, n) + 1j * rng.uniform(-1, 1, n)
+    re, im = fft_large(x.real.astype(np.float32), x.imag.astype(np.float32))
+    got = np.asarray(re) + 1j * np.asarray(im)
+    expected = np.fft.fft(x)  # O(n log n) reference is fine at f64
+    err = np.max(np.abs(got - expected)) / np.max(np.abs(expected))
+    assert err < 5e-6, err
+
+
+def test_fft_large_native_inverse():
+    n = 1 << 14
+    rng = ref.seeded_rng(99)
+    xr = rng.uniform(-1, 1, n).astype(np.float32)
+    xi = rng.uniform(-1, 1, n).astype(np.float32)
+    re, im = fft_large(xr, xi)
+    br, bi = fft_large(np.asarray(re), np.asarray(im), inverse=True)
+    assert np.max(np.abs(np.asarray(br) - xr)) < 1e-4
+    assert np.max(np.abs(np.asarray(bi) - xi)) < 1e-4
+
+
+def test_fft_large_rejects_small():
+    with pytest.raises(ValueError):
+        fft_large(np.zeros(4096, np.float32), np.zeros(4096, np.float32))

@@ -68,20 +68,212 @@ def rfft_nb(x):
     zre = jax.lax.slice(x, (0, 0), (n - 1, b), (2, 1))
     zim = jax.lax.slice(x, (1, 0), (n, b), (2, 1))
     zre, zim = stockham_fft_nb(zre, zim, inverse=False)
-    # A = Z ext (Z[M]=Z[0]); B = Z[(M-k) mod M], k = 0..M
-    are = jnp.concatenate([zre, zre[:1]], axis=0)
-    aim = jnp.concatenate([zim, zim[:1]], axis=0)
-    bre = jnp.concatenate([zre[:1], jnp.flip(zre[1:], axis=0), zre[:1]], axis=0)
-    bim = jnp.concatenate([zim[:1], jnp.flip(zim[1:], axis=0), zim[:1]], axis=0)
+    # Hermitian recombination, lean form: one flip, one 3-part concat.
+    # Core rows k = 1..m-1 use A = Z[k], B = Z[m-k]; DC and Nyquist come
+    # from Z[0] alone: X[0] = Re(Z0)+Im(Z0), X[m] = Re(Z0)-Im(Z0) (real).
+    are, aim = zre[1:], zim[1:]
+    bre = jnp.flip(zre[1:], axis=0)
+    bim = jnp.flip(zim[1:], axis=0)
     ere = 0.5 * (are + bre)
     eim = 0.5 * (aim - bim)
     dre = are - bre
     dim = aim + bim
     ore = 0.5 * dim
     oim = -0.5 * dre
-    xre = ere + wre * ore - wim * oim
-    xim = eim + wre * oim + wim * ore
+    wr, wi = wre[1:m], wim[1:m]
+    xre_core = ere + wr * ore - wi * oim
+    xim_core = eim + wr * oim + wi * ore
+    z0re, z0im = zre[:1], zim[:1]
+    xre = jnp.concatenate([z0re + z0im, xre_core, z0re - z0im], axis=0)
+    zero = jnp.zeros_like(z0re)
+    xim = jnp.concatenate([zero, xim_core, zero], axis=0)
     return xre, xim
+
+
+# ---------------------------------------------------------------------------
+# Fully-fused single-pass variants (Exp 8): the whole rfft pipeline in ONE
+# pallas_call — deinterleave, m-point stages, and the Hermitian mirror done
+# IN-KERNEL by staging Z to VMEM scratch (with a wrap row so Z[(m-k) mod m]
+# is always one contiguous 8-row window) and walking 8-row output blocks:
+# the mirrored block is an unaligned dynamic slice, reversed by 8 static
+# row-slices. Reference analog: $stage_r4_s1_rfft_fused (Experiment 61,
+# fft_split_native_f32.wat:2220-2716), which fused post-process into the
+# final stage in registers.
+# ---------------------------------------------------------------------------
+
+import functools as _ft
+
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+from .pallas_stockham import run_stages as _run_stages, stage_plan as _stage_plan
+from .pallas_stockham import make_twiddle_pack as _mk_pack, _pick_tile as _pick_tile_c
+
+
+def _rev8(v):
+    return jnp.concatenate([v[7 - j:8 - j] for j in range(8)], axis=0)
+
+
+def _rfft_fused_kernel(n, offsets, stages,
+                       x_ref, twre_ref, twim_ref, wre_ref, wim_ref,
+                       ore_ref, oim_ref, zs_re, zs_im):
+    m = n // 2
+    b = x_ref.shape[-1]
+    x = x_ref[:]
+    # deinterleave via a [m, 2, b] view: strided slices don't lower inside
+    # Mosaic (vector.extract_strided_slice requires stride 1)
+    xv = x.reshape(m, 2, b)
+    zre = xv[:, 0, :]
+    zim = xv[:, 1, :]
+    zre, zim = _run_stages(zre, zim, m, False, offsets, stages,
+                           twre_ref[:], twim_ref[:])
+    zs_re[0:m] = zre
+    zs_im[0:m] = zim
+    zs_re[m:m + 1] = zre[0:1]  # wrap row: Z[m] := Z[0]
+    zs_im[m:m + 1] = zim[0:1]
+
+    def body(i, carry):
+        k0 = i * 8
+        are = zs_re[pl.ds(k0, 8)]
+        aim = zs_im[pl.ds(k0, 8)]
+        mstart = m - k0 - 7
+        bre = _rev8(zs_re[pl.ds(mstart, 8)])
+        bim = _rev8(zs_im[pl.ds(mstart, 8)])
+        ere = 0.5 * (are + bre)
+        eim = 0.5 * (aim - bim)
+        ore = 0.5 * (aim + bim)
+        oim = -0.5 * (are - bre)
+        wr = wre_ref[pl.ds(k0, 8)]
+        wi = wim_ref[pl.ds(k0, 8)]
+        ore_ref[pl.ds(k0, 8), :] = ere + wr * ore - wi * oim
+        oim_ref[pl.ds(k0, 8), :] = eim + wr * oim + wi * ore
+        return carry
+
+    jax.lax.fori_loop(0, m // 8, body, 0)
+    # Nyquist row: X[m] = Re(Z0) - Im(Z0), imag 0
+    ore_ref[m:m + 1, :] = zs_re[0:1] - zs_im[0:1]
+    oim_ref[m:m + 1, :] = jnp.zeros((1, b), x.dtype)
+
+
+def _irfft_fused_kernel(n, offsets, stages,
+                        xre_ref, xim_ref, twre_ref, twim_ref,
+                        wre_ref, wim_ref, o_ref, zs_re, zs_im):
+    m = n // 2
+    b = xre_ref.shape[-1]
+
+    def body(i, carry):
+        k0 = i * 8
+        are = xre_ref[pl.ds(k0, 8)]
+        aim = xim_ref[pl.ds(k0, 8)]
+        mstart = m - k0 - 7
+        bre = _rev8(xre_ref[pl.ds(mstart, 8)])
+        bim = -_rev8(xim_ref[pl.ds(mstart, 8)])
+        ere = 0.5 * (are + bre)
+        eim = 0.5 * (aim + bim)
+        ore = -0.5 * (aim - bim)
+        oim = 0.5 * (are - bre)
+        wr = wre_ref[pl.ds(k0, 8)]
+        wi = wim_ref[pl.ds(k0, 8)]
+        zs_re[pl.ds(k0, 8), :] = ere + wr * ore - wi * oim
+        zs_im[pl.ds(k0, 8), :] = eim + wr * oim + wi * ore
+        return carry
+
+    jax.lax.fori_loop(0, m // 8, body, 0)
+    zre, zim = _run_stages(zs_re[0:m], zs_im[0:m], m, True, offsets, stages,
+                           twre_ref[:], twim_ref[:])
+    o_ref[:] = jnp.stack([zre, zim], axis=1).reshape(n, b)
+
+
+@_ft.partial(jax.jit, static_argnames=("n", "tile_b", "interpret"))
+def _rfft_fused_call(x, twre, twim, wre, wim, n, tile_b, interpret=False):
+    m = n // 2
+    b = x.shape[-1]
+    stages = tuple(_stage_plan(m))
+    offsets = _mk_pack(m, False)[2]
+    kernel = _ft.partial(_rfft_fused_kernel, n, offsets, stages)
+    grid = (b // tile_b,)
+    xblock = pl.BlockSpec((n, tile_b), lambda i: (0, i), memory_space=pltpu.VMEM)
+    oblock = pl.BlockSpec((m + 1, tile_b), lambda i: (0, i), memory_space=pltpu.VMEM)
+    col = lambda a: pl.BlockSpec(a.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((m + 1, b), x.dtype)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[xblock, col(twre), col(twim), col(wre), col(wim)],
+        out_specs=[oblock, oblock],
+        out_shape=[out_shape, out_shape],
+        scratch_shapes=[pltpu.VMEM((m + 8, tile_b), x.dtype),
+                        pltpu.VMEM((m + 8, tile_b), x.dtype)],
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(x, twre, twim, wre, wim)
+
+
+@_ft.partial(jax.jit, static_argnames=("n", "tile_b", "interpret"))
+def _irfft_fused_call(xre, xim, twre, twim, wre, wim, n, tile_b,
+                      interpret=False):
+    m = n // 2
+    b = xre.shape[-1]
+    stages = tuple(_stage_plan(m))
+    offsets = _mk_pack(m, True)[2]
+    kernel = _ft.partial(_irfft_fused_kernel, n, offsets, stages)
+    grid = (b // tile_b,)
+    xblock = pl.BlockSpec((m + 1, tile_b), lambda i: (0, i), memory_space=pltpu.VMEM)
+    oblock = pl.BlockSpec((n, tile_b), lambda i: (0, i), memory_space=pltpu.VMEM)
+    col = lambda a: pl.BlockSpec(a.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((n, b), xre.dtype)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[xblock, xblock, col(twre), col(twim), col(wre), col(wim)],
+        out_specs=oblock,
+        out_shape=out_shape,
+        scratch_shapes=[pltpu.VMEM((m + 8, tile_b), xre.dtype),
+                        pltpu.VMEM((m + 8, tile_b), xre.dtype)],
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(xre, xim, twre, twim, wre, wim)
+
+
+def rfft_nb_fused(x):
+    """Single-pass fused real forward FFT, [n, batch] -> [n//2+1, batch].
+    Requires n >= 16 (the mirror walk needs m >= 8); f32, batch % 128 == 0."""
+    n, b = x.shape[-2], x.shape[-1]
+    if n < 16:
+        raise ValueError("fused rfft requires n >= 16")
+    if b % 128 != 0:
+        raise ValueError(f"batch must be a multiple of 128, got {b}")
+    m = n // 2
+    wre, wim = (jnp.asarray(a) for a in _Cache.get(n, False))
+    sre, sim = (jnp.asarray(a) for a in
+                (_mk_pack(m, False)[0], _mk_pack(m, False)[1]))
+    tile_b = _pick_tile_c(n, b)
+    if b % tile_b != 0:
+        tile_b = 128
+    interpret = jax.default_backend() != "tpu"
+    return _rfft_fused_call(x, sre, sim, wre, wim, n, tile_b,
+                            interpret=interpret)
+
+
+def irfft_nb_fused(xre, xim):
+    """Single-pass fused inverse real FFT, [m+1, batch] -> [2m, batch]."""
+    m1, b = xre.shape[-2], xre.shape[-1]
+    m = m1 - 1
+    n = 2 * m
+    if n < 16:
+        raise ValueError("fused irfft requires n >= 16")
+    if b % 128 != 0:
+        raise ValueError(f"batch must be a multiple of 128, got {b}")
+    wre, wim = (jnp.asarray(a) for a in _Cache.get(n, True))
+    pk = _mk_pack(m, True)
+    sre, sim = jnp.asarray(pk[0]), jnp.asarray(pk[1])
+    tile_b = _pick_tile_c(n, b)
+    if b % tile_b != 0:
+        tile_b = 128
+    interpret = jax.default_backend() != "tpu"
+    return _irfft_fused_call(xre, xim, sre, sim, wre, wim, n, tile_b,
+                             interpret=interpret)
 
 
 def irfft_nb(xre, xim):

@@ -182,9 +182,11 @@ def _build_registry() -> list[SurfaceEntry]:
             make=_mk_rfft_pallas(direction)))
     for surface, inverse in (("complex-forward", False),
                              ("complex-inverse", True)):
+        # max_size 1024 bounds CPU-interpret test time; the kernel itself
+        # runs any power of two (dedicated suite: tests/test_doublefloat.py)
         out.append(SurfaceEntry(
             name="doublefloat-pallas", surface=surface, dtype="float64",
-            min_size=2, max_size=4096, flagship=False, baseline=False,
+            min_size=2, max_size=1024, flagship=False, baseline=False,
             make=_mk_doublefloat(inverse)))
     for dtype in ("float32", "float64"):
         max_n = 1 << 20
