@@ -118,6 +118,60 @@ def main(full: bool = False) -> None:
                                        ops_per_sec=2 * b / t_jr, cv=0.0,
                                        batch=b, items_per_call=2 * b, samples=[]))
 
+    if full:
+        # BASELINE config 4: STFT-style workload — 4096 independent N=1024
+        # real transforms packed along the lane axis.
+        from watfft_tpu.ops.pallas_rfft import rfft_nb
+        n, b = 1024, 4096
+        xr_t = jnp.asarray(rng.uniform(-1, 1, (n, b)).astype(np.float32))
+
+        def sstep(c):
+            re, im = rfft_nb(c)
+            # keep carry shape [n, b]: drop the extra bin row
+            return jnp.concatenate([re[:-1], im[:-1]], axis=0)[:n]
+        t_s = time_chain(sstep, xr_t)
+        xr = jnp.asarray(rng.uniform(-1, 1, (b, n)).astype(np.float32))
+
+        def jstft(c):
+            y = jnp.fft.rfft(c)
+            return jnp.concatenate([y.real[:, :-1], y.imag[:, :-1]], axis=1)[:, :n]
+        t_js = time_chain(jstft, xr)
+        print(f"  [stft-4096x1024] ours={b/t_s:,.0f}/s jnp={b/t_js:,.0f}/s "
+              f"x{t_js/t_s:.2f}", file=sys.stderr)
+        results.append(BenchResult(name="watfft/stft-workload/f32/n1024",
+                                   ops_per_sec=b / t_s, cv=0.0, batch=b,
+                                   items_per_call=b, samples=[]))
+        results.append(BenchResult(name="jnp.fft/stft-workload/f32/n1024",
+                                   ops_per_sec=b / t_js, cv=0.0, batch=b,
+                                   items_per_call=b, samples=[]))
+
+        # BASELINE config 5: large-N four-step
+        from watfft_tpu.ops.large import fft_large
+        for log in (16, 18, 20):
+            nn = 1 << log
+            xs = jnp.asarray(rng.uniform(-1, 1, nn).astype(np.float32))
+            ys = jnp.asarray(rng.uniform(-1, 1, nn).astype(np.float32))
+
+            def lstep(c):
+                a, bb = c
+                a, bb = fft_large(a, bb, inverse=False)
+                return fft_large(a, bb, inverse=True)
+            t_l = time_chain(lstep, (xs, ys), r1=8, r2=40)
+
+            def jlstep(c):
+                a, bb = c
+                z = jnp.fft.ifft(jnp.fft.fft(a + 1j * bb))
+                return z.real, z.imag
+            t_jl = time_chain(jlstep, (xs, ys), r1=8, r2=40)
+            print(f"  [large] 2^{log} ours={t_l*1e6:,.0f}us "
+                  f"jnp={t_jl*1e6:,.0f}us x{t_jl/t_l:.2f}", file=sys.stderr)
+            results.append(BenchResult(name=f"watfft/fft-large/f32/n{nn}",
+                                       ops_per_sec=2 / t_l, cv=0.0, batch=1,
+                                       items_per_call=2, samples=[]))
+            results.append(BenchResult(name=f"jnp.fft/fft-large/f32/n{nn}",
+                                       ops_per_sec=2 / t_jl, cv=0.0, batch=1,
+                                       items_per_call=2, samples=[]))
+
     try:
         path = save_results("headline", results)
         print(f"saved: {path}", file=sys.stderr)

@@ -50,3 +50,19 @@ def test_df_native_inverse_roundtrip(n):
     back = df.df_fft_nb(*planes, inverse=True)
     err = np.max(np.abs(_from_planes(back) - x))
     assert err < 1e-11, f"n={n} err={err:.3e}"
+
+
+@pytest.mark.parametrize("n", [16, 64, 512])
+def test_df_real_forward_and_inverse(n):
+    rng = ref.seeded_rng(n + 2)
+    x = rng.uniform(-1, 1, (128, n))
+    xh, xl = df.split_f64(np.ascontiguousarray(x.T))
+    out = df.df_rfft_nb(xh, xl)
+    got = (df.merge_f64(np.asarray(out[0]), np.asarray(out[1]))
+           + 1j * df.merge_f64(np.asarray(out[2]), np.asarray(out[3]))).T
+    expected = ref.real_dft(x)
+    err = np.max(np.abs(got - expected)) / np.max(np.abs(expected))
+    assert err < 1e-11, f"n={n} err={err:.3e}"
+    bh, bl = df.df_irfft_nb(*out)
+    back = df.merge_f64(np.asarray(bh), np.asarray(bl)).T
+    assert np.max(np.abs(back - x)) < 1e-11

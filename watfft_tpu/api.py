@@ -128,8 +128,14 @@ class FFTContext(_BaseContext):
     def _nb(self, xre, xim, inverse: bool):
         if self.dtype == "float32":
             from .ops.pallas_stockham import stockham_fft_nb
-            return stockham_fft_nb(self._prep(xre), self._prep(xim),
-                                   inverse=inverse)
+            xre, xim = self._prep(xre), self._prep(xim)
+            b = xre.shape[-1]
+            pad = (-b) % 128  # kernel needs full lane tiles; API pads
+            if pad:
+                xre = jnp.pad(xre, ((0, 0), (0, pad)))
+                xim = jnp.pad(xim, ((0, 0), (0, pad)))
+            ore, oim = stockham_fft_nb(xre, xim, inverse=inverse)
+            return (ore[:, :b], oim[:, :b]) if pad else (ore, oim)
         from .ops.doublefloat import df_fft_nb, split_f64, merge_f64
         rh, rl = split_f64(np.asarray(xre, np.float64))
         ih, il = split_f64(np.asarray(xim, np.float64))
@@ -177,6 +183,31 @@ class RFFTContext(_BaseContext):
         self._inv_w = _put(tuple(jnp.asarray(a) for a in iw), self._device)
         self._fwd_fn = jax.jit(partial(rfft_planes, shape_info=self._shape_info))
         self._inv_fn = jax.jit(partial(irfft_planes, inv_shape_info=self._shape_info))
+
+    # -- time-major [n, batch] hot paths --------------------------------------
+    def forward_planes_nb(self, x):
+        """Real [n, batch] -> spectrum planes [n//2+1, batch]. f32 uses the
+        hybrid Pallas real path; f64 the double-f32 tier (hi/lo internal)."""
+        if self.dtype == "float32":
+            from .ops.pallas_rfft import rfft_nb
+            return rfft_nb(self._prep(x))
+        from .ops.doublefloat import df_rfft_nb, split_f64, merge_f64
+        xh, xl = split_f64(np.asarray(x, np.float64))
+        orh, orl, oih, oil = df_rfft_nb(jnp.asarray(xh), jnp.asarray(xl))
+        return (merge_f64(np.asarray(orh), np.asarray(orl)),
+                merge_f64(np.asarray(oih), np.asarray(oil)))
+
+    def inverse_planes_nb(self, xre, xim):
+        """Spectrum planes [m+1, batch] -> real [2m, batch]."""
+        if self.dtype == "float32":
+            from .ops.pallas_rfft import irfft_nb
+            return irfft_nb(self._prep(xre), self._prep(xim))
+        from .ops.doublefloat import df_irfft_nb, split_f64, merge_f64
+        rh, rl = split_f64(np.asarray(xre, np.float64))
+        ih, il = split_f64(np.asarray(xim, np.float64))
+        oh, ol = df_irfft_nb(jnp.asarray(rh), jnp.asarray(rl),
+                             jnp.asarray(ih), jnp.asarray(il))
+        return merge_f64(np.asarray(oh), np.asarray(ol))
 
     def forward_planes(self, x):
         return self._fwd_fn(self._prep(x), self._fwd_tables,

@@ -303,6 +303,93 @@ def _df_pick_tile(n: int, b: int) -> int:
     return tb
 
 
+def _df_post_twiddles(n: int, inverse: bool):
+    m = n // 2
+    sign = +1.0 if inverse else -1.0
+    k = np.arange(m + (0 if inverse else 1))
+    ang = sign * 2.0 * np.pi * k / n
+    wrh, wrl = split_f64(np.cos(ang))
+    wih, wil = split_f64(np.sin(ang))
+    return tuple(a.reshape(-1, 1) for a in (wrh, wrl, wih, wil))
+
+
+class _PostCache:
+    _c: dict = {}
+
+    @classmethod
+    def get(cls, n, inverse):
+        key = (n, inverse)
+        if key not in cls._c:
+            cls._c[key] = _df_post_twiddles(n, inverse)  # numpy only
+        return cls._c[key]
+
+
+def df_rfft_nb(xh, xl):
+    """Double-f32 real forward FFT: hi/lo real planes [n, batch] ->
+    (Xre_h, Xre_l, Xim_h, Xim_l) with n//2+1 rows.
+
+    TPU-native analog of the reference's f64 real module
+    (modules/fft_real_combined.wat rfft :953-1052): pack-as-complex df core
+    kernel + Hermitian recombination in df arithmetic (the df_* helpers are
+    plain jnp ops, so the post runs XLA-fused outside the kernel)."""
+    n, b = xh.shape[-2], xh.shape[-1]
+    m = n // 2
+    zrh, zrl = xh[0::2], xl[0::2]
+    zih, zil = xh[1::2], xl[1::2]
+    zrh, zrl, zih, zil = df_fft_nb(zrh, zrl, zih, zil)
+    wrh, wrl, wih, wil = (jnp.asarray(a) for a in _PostCache.get(n, False))
+    flip = lambda a: jnp.flip(a[1:], axis=0)
+    # core rows k = 1..m-1: A = Z[k], B = Z[m-k]
+    arh, arl, aih, ail = zrh[1:], zrl[1:], zih[1:], zil[1:]
+    brh, brl = flip(zrh), flip(zrl)
+    bih, bil = flip(zih), flip(zil)
+    half = (jnp.float32(0.5), jnp.float32(0.0))
+    erh, erl = df_mul(*df_add(arh, arl, brh, brl), *half)
+    eih, eil = df_mul(*df_add(aih, ail, -bih, -bil), *half)
+    orh, orl = df_mul(*df_add(aih, ail, bih, bil), *half)
+    oih, oil = df_mul(*df_add(-arh, -arl, brh, brl), *half)
+    wr = (wrh[1:m], wrl[1:m])
+    wi = (wih[1:m], wil[1:m])
+    xr_h, xr_l, xi_h, xi_l = df_cmul(orh, orl, oih, oil,
+                                     wr[0], wr[1], wi[0], wi[1])
+    xr_h, xr_l = df_add(erh, erl, xr_h, xr_l)
+    xi_h, xi_l = df_add(eih, eil, xi_h, xi_l)
+    # DC and Nyquist from Z[0]
+    dc_h, dc_l = df_add(zrh[:1], zrl[:1], zih[:1], zil[:1])
+    ny_h, ny_l = df_add(zrh[:1], zrl[:1], -zih[:1], -zil[:1])
+    zero = jnp.zeros_like(dc_h)
+    cat = lambda a, bb, c: jnp.concatenate([a, bb, c], axis=0)
+    return (cat(dc_h, xr_h, ny_h), cat(dc_l, xr_l, ny_l),
+            cat(zero, xi_h, zero), cat(zero, xi_l, zero))
+
+
+def df_irfft_nb(xrh, xrl, xih, xil):
+    """Double-f32 inverse real FFT: [m+1, batch] hi/lo spectrum planes ->
+    real hi/lo planes [2m, batch] (normalized). Fixes (rather than
+    reproduces) the reference's missing f64 irfft export (SURVEY.md §2.2)."""
+    m1, b = xrh.shape[-2], xrh.shape[-1]
+    m = m1 - 1
+    n = 2 * m
+    wrh, wrl, wih, wil = (jnp.asarray(a) for a in _PostCache.get(n, True))
+    # A = X[k], B = conj(X[m-k]), k = 0..m-1
+    arh, arl, aih, ail = xrh[:m], xrl[:m], xih[:m], xil[:m]
+    mirror = lambda a: jnp.concatenate([a[m:m + 1], jnp.flip(a[1:m], axis=0)], axis=0)
+    brh, brl = mirror(xrh), mirror(xrl)
+    bih, bil = -mirror(xih), -mirror(xil)
+    half = (jnp.float32(0.5), jnp.float32(0.0))
+    erh, erl = df_mul(*df_add(arh, arl, brh, brl), *half)
+    eih, eil = df_mul(*df_add(aih, ail, bih, bil), *half)
+    orh, orl = df_mul(*df_add(-aih, -ail, bih, bil), *half)
+    oih, oil = df_mul(*df_add(arh, arl, -brh, -brl), *half)
+    zrh, zrl, zih, zil = df_cmul(orh, orl, oih, oil,
+                                 wrh[:m], wrl[:m], wih[:m], wil[:m])
+    zrh, zrl = df_add(erh, erl, zrh, zrl)
+    zih, zil = df_add(eih, eil, zih, zil)
+    zrh, zrl, zih, zil = df_fft_nb(zrh, zrl, zih, zil, inverse=True)
+    inter = lambda re, im: jnp.stack([re, im], axis=1).reshape(n, b)
+    return inter(zrh, zih), inter(zrl, zil)
+
+
 def df_fft_nb(rh, rl, ih, il, inverse: bool = False):
     """Double-f32 batched FFT on time-major planes [n, batch].
 

@@ -166,6 +166,45 @@ def _mk_doublefloat(inverse: bool):
     return make
 
 
+def _mk_doublefloat_rfft(direction: str):
+    """Double-f32 real surface (f64-class TPU real transforms, both
+    directions — the reference's f64 real module had no inverse)."""
+    import jax.numpy as jnp
+    from .ops.doublefloat import df_rfft_nb, df_irfft_nb, split_f64, merge_f64
+
+    def make(n: int):
+        m = n // 2
+
+        def run(x):
+            x = np.asarray(x)
+            squeeze = x.ndim == 1
+            x2 = np.atleast_2d(x)
+            b = x2.shape[0]
+            bp = max(128, ((b + 127) // 128) * 128)
+            if direction == "forward":
+                xt = np.zeros((n, bp), np.float64)
+                xt[:, :b] = np.real(x2).T
+                xh, xl = split_f64(xt)
+                orh, orl, oih, oil = df_rfft_nb(jnp.asarray(xh), jnp.asarray(xl))
+                out = (merge_f64(np.asarray(orh), np.asarray(orl))
+                       + 1j * merge_f64(np.asarray(oih), np.asarray(oil)))
+                out = out[:, :b].T
+            else:
+                x2 = np.asarray(x2, np.complex128)
+                re = np.zeros((m + 1, bp), np.float64)
+                im = np.zeros((m + 1, bp), np.float64)
+                re[:, :b] = x2.real.T
+                im[:, :b] = x2.imag.T
+                rh, rl = split_f64(re)
+                ih, il = split_f64(im)
+                oh, ol = df_irfft_nb(jnp.asarray(rh), jnp.asarray(rl),
+                                     jnp.asarray(ih), jnp.asarray(il))
+                out = merge_f64(np.asarray(oh), np.asarray(ol))[:, :b].T
+            return out[0] if squeeze else out
+        return run
+    return make
+
+
 def _build_registry() -> list[SurfaceEntry]:
     out: list[SurfaceEntry] = []
     for surface, direction in (("complex-forward", "forward"),
@@ -188,6 +227,12 @@ def _build_registry() -> list[SurfaceEntry]:
             name="doublefloat-pallas", surface=surface, dtype="float64",
             min_size=2, max_size=1024, flagship=False, baseline=False,
             make=_mk_doublefloat(inverse)))
+    for surface, direction in (("real-forward", "forward"),
+                               ("real-inverse", "inverse")):
+        out.append(SurfaceEntry(
+            name="doublefloat-rfft", surface=surface, dtype="float64",
+            min_size=8, max_size=1024, flagship=False, baseline=False,
+            make=_mk_doublefloat_rfft(direction)))
     for dtype in ("float32", "float64"):
         max_n = 1 << 20
         for surface, kind, direction in (

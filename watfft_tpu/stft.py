@@ -57,15 +57,43 @@ def frame(x, frame_length: int, hop: int):
 def stft(x, n_fft: int = 1024, hop: int = 256, window: str = "hann"):
     """Batched STFT: real [..., t] -> (re, im) planes [..., frames, n_fft//2+1].
 
-    The frame batch rides the lane axis through the flagship rfft kernel
-    path on TPU (pack frames, one fused kernel call); elsewhere it uses the
-    portable four-step surface.
+    On TPU the frame batch rides the 128-lane axis through the Pallas real
+    path (BASELINE config 4's workload: thousands of N-point transforms
+    packed along lanes); elsewhere it uses the portable four-step surface.
     """
-    from .api import RFFTContext
+    if jax.default_backend() == "tpu":
+        return _stft_tpu(x, n_fft, hop, window)
     w = jnp.asarray(get_window(window, n_fft))
     frames = frame(x, n_fft, hop) * w
     ctx = _ctx_cache_get(n_fft)
     return ctx.forward_planes(frames)
+
+
+def _stft_tpu(x, n_fft: int, hop: int, window: str):
+    from .ops.pallas_rfft import rfft_nb
+    x = jnp.asarray(x, jnp.float32)
+    t = x.shape[-1]
+    num = max(0, (t - n_fft) // hop + 1)
+    batch = x.shape[:-1]
+    lead = int(np.prod(batch)) if batch else 1
+    # time-major frame extraction: idx [n_fft, num] -> frames [..., n_fft, num]
+    idx = (np.arange(num)[None, :] * hop + np.arange(n_fft)[:, None])
+    frames = jnp.take(x, jnp.asarray(idx), axis=-1)
+    w = jnp.asarray(get_window(window, n_fft))[:, None]
+    frames = frames * w
+    # fold leading batch dims into lanes and pad to 128
+    fr = jnp.moveaxis(frames.reshape(lead, n_fft, num), 0, -1).reshape(n_fft, num * lead)
+    total = num * lead
+    pad = (-total) % 128
+    if pad:
+        fr = jnp.pad(fr, ((0, 0), (0, pad)))
+    re, im = rfft_nb(fr)
+    bins = n_fft // 2 + 1
+    re = jnp.moveaxis(re[:, :total].reshape(bins, num, lead), -1, 0)
+    im = jnp.moveaxis(im[:, :total].reshape(bins, num, lead), -1, 0)
+    re = jnp.swapaxes(re, -1, -2).reshape(*batch, num, bins)
+    im = jnp.swapaxes(im, -1, -2).reshape(*batch, num, bins)
+    return re, im
 
 
 def istft(sre, sim, n_fft: int = 1024, hop: int = 256, window: str = "hann",
