@@ -78,3 +78,29 @@ def test_jnp_fft_baseline_is_fair():
     assert jn, "jnp.fft baseline must be registered"
     got = np.asarray(jn[0].make(n)(x))
     np.testing.assert_allclose(got, ref.dft(x), atol=1e-9)
+
+
+def test_bench_covers_flagship_kernels():
+    """Every hot-path kernel must appear in bench.py — the reference's
+    BENCH_COVERAGE map (wat-surfaces.mjs:217-231) existed because a stale
+    bench mis-reported for two generations; this is the equivalent guard."""
+    import os
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "bench.py")) as f:
+        src = f.read()
+    for needle in ("stockham_fft_nb", "rfft_nb", "fft_large", "jnp.fft"):
+        assert needle in src, f"bench.py no longer exercises {needle}"
+
+
+def test_bench_sizes_are_tested_sizes():
+    """The benchmark sweep must stay inside the correctness-tested range."""
+    import os
+    import re as _re
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "bench.py")) as f:
+        src = f.read()
+    m = _re.search(r"SIZES = \[([0-9, ]+)\]", src)
+    assert m, "bench.py SIZES list not found"
+    sizes = [int(s) for s in m.group(1).split(",")]
+    for n in sizes:
+        assert 2 <= n <= 4096 and (n & (n - 1)) == 0

@@ -50,3 +50,20 @@ def test_fft2_sharded_roundtrip():
     bre, bim = fft2_sharded(re, im, mesh, inverse=True)
     assert np.max(np.abs(np.asarray(bre) - x)) < 1e-4
     assert np.max(np.abs(np.asarray(bim) - xi)) < 1e-4
+
+
+@needs_devices
+def test_fft_large_sharded_matches_reference():
+    from watfft_tpu.parallel.large_sharded import fft_large_sharded
+    mesh = make_mesh(8)
+    rng = ref.seeded_rng(6)
+    n = 1 << 16
+    x = rng.uniform(-1, 1, n) + 1j * rng.uniform(-1, 1, n)
+    re, im = fft_large_sharded(x.real.astype(np.float32),
+                               x.imag.astype(np.float32), mesh)
+    got = np.asarray(re) + 1j * np.asarray(im)
+    expected = np.fft.fft(x)
+    assert np.max(np.abs(got - expected)) / np.max(np.abs(expected)) < 5e-6
+    bre, bim = fft_large_sharded(re, im, mesh, inverse=True)
+    back = np.asarray(bre) + 1j * np.asarray(bim)
+    assert np.max(np.abs(back - x)) < 1e-4

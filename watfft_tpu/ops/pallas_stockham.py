@@ -112,6 +112,15 @@ def _interleave(parts, g, l, b):
     return out.reshape(n, b)
 
 
+def _interleave3(parts, g, l, s, w):
+    """3D variant: parts of [g*l, s, w] -> [n, s, w]. The tiled minor pair
+    (s, w) = (8, lanes) stays intact, so NO view ever pads regardless of l
+    (the small-n fix, Exp 10)."""
+    n = len(parts) * g * l
+    out = jnp.stack([p.reshape(g, l, s, w) for p in parts], axis=1)
+    return out.reshape(n, s, w)
+
+
 def _small_dft(res, ims, inverse: bool):
     """R-point DFT across R part-arrays via a recursive radix-2 network with
     scalar constant twiddles. X_q = sum_p part_p * w_R^{p*q},
@@ -148,9 +157,11 @@ def _small_dft(res, ims, inverse: bool):
 
 
 def _stage(cre, cim, n, r, l, tw, inverse, scale0):
-    """One mixed-radix Stockham stage on [n, b] values."""
+    """One mixed-radix Stockham stage on [n, b] (2D) or [n, 8, w] (3D)
+    values. All arithmetic is elementwise/rank-agnostic; only the twiddle
+    broadcast and output interleave depend on rank."""
     q = n // r
-    b = cre.shape[-1]
+    three_d = cre.ndim == 3
     bs_re = [cre[p * q:(p + 1) * q] for p in range(r)]
     bs_im = [cim[p * q:(p + 1) * q] for p in range(r)]
     if tw is not None:
@@ -158,6 +169,9 @@ def _stage(cre, cim, n, r, l, tw, inverse, scale0):
         for p in range(1, r):
             wr = twre[(p - 1) * q:p * q]
             wi = twim[(p - 1) * q:p * q]
+            if three_d:
+                wr = wr.reshape(q, 1, 1)
+                wi = wi.reshape(q, 1, 1)
             br, bi = bs_re[p], bs_im[p]
             bs_re[p] = br * wr - bi * wi
             bs_im[p] = br * wi + bi * wr
@@ -170,6 +184,10 @@ def _stage(cre, cim, n, r, l, tw, inverse, scale0):
                 bs_im[p] = bs_im[p] * scale0
     xs_re, xs_im = _small_dft(bs_re, bs_im, inverse)
     g = n // (r * l)
+    if three_d:
+        s, w = cre.shape[-2], cre.shape[-1]
+        return (_interleave3(xs_re, g, l, s, w), _interleave3(xs_im, g, l, s, w))
+    b = cre.shape[-1]
     return (_interleave(xs_re, g, l, b), _interleave(xs_im, g, l, b))
 
 
@@ -193,10 +211,22 @@ def run_stages(cre, cim, n, inverse, offsets, stages, twre, twim,
     return cre, cim
 
 
-def _kernel(n, inverse, offsets, stages,
+def _kernel(n, inverse, offsets, stages, use3d,
             xre_ref, xim_ref, twre_ref, twim_ref, ore_ref, oim_ref):
-    cre, cim = run_stages(xre_ref[:], xim_ref[:], n, inverse, offsets, stages,
+    cre = xre_ref[:]
+    cim = xim_ref[:]
+    if use3d:
+        # small-n mode (Exp 10): lift lanes into a full (8, w) tiled minor
+        # pair so single-row part slices never pad sublanes 8x. Costs one
+        # VMEM relayout in and out.
+        w = cre.shape[-1] // 8
+        cre = cre.reshape(n, 8, w)
+        cim = cim.reshape(n, 8, w)
+    cre, cim = run_stages(cre, cim, n, inverse, offsets, stages,
                           twre_ref[:], twim_ref[:])
+    if use3d:
+        cre = cre.reshape(n, -1)
+        cim = cim.reshape(n, -1)
     ore_ref[:] = cre
     oim_ref[:] = cim
 
@@ -206,7 +236,8 @@ def _stockham_call(xre, xim, twre, twim, n, inverse, tile_b, interpret=False):
     b = xre.shape[-1]
     stages = tuple(stage_plan(n))
     offsets = make_twiddle_pack(n, inverse)[2]
-    kernel = functools.partial(_kernel, n, inverse, offsets, stages)
+    use3d = n <= 128 and tile_b >= 1024 and tile_b % 8 == 0
+    kernel = functools.partial(_kernel, n, inverse, offsets, stages, use3d)
     grid = (b // tile_b,)
     block = pl.BlockSpec((n, tile_b), lambda i: (0, i), memory_space=pltpu.VMEM)
     twspec = pl.BlockSpec(twre.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
@@ -244,8 +275,10 @@ def _pick_tile(n: int, b: int) -> int:
     """Lane-tile choice, from the on-chip sweep (docs/EXPERIMENT_LOG.md
     Exp 3/5): small n wants wide tiles (amortize per-grid-step cost), large
     n is VMEM-bound (peak live set ~17 [n, tb] f32 arrays)."""
-    if n <= 32:
-        tb = 1024
+    if n <= 64:
+        tb = 1024  # also enables the 3D small-n mode (needs w = tb/8 >= 128)
+    elif n <= 128:
+        tb = 2048  # 3D mode: 43us vs 77us at n=128 (Exp 10)
     elif n <= 512:
         tb = 256
     else:
