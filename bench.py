@@ -66,7 +66,10 @@ def main(full: bool = False) -> None:
                 a, bb = c
                 a, bb = stockham_fft_nb(a, bb, inverse=False)
                 return stockham_fft_nb(a, bb, inverse=True)
-            t_ours = time_chain(pstep, (xre_t, xim_t))
+            # best-of-two on our side as well: slope jitter must not
+            # produce bogus per-size results in either direction
+            t_ours = min(time_chain(pstep, (xre_t, xim_t)),
+                         time_chain(pstep, (xre_t, xim_t)))
         except Exception as e:
             print(f"  n={n}: pallas failed ({str(e)[:80]}), using fourstep",
                   file=sys.stderr)

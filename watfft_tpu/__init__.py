@@ -20,6 +20,8 @@ from .api import (
     ifft,
     rfft,
     irfft,
+    fft2,
+    ifft2,
 )
 
 __version__ = "0.1.0"
@@ -27,6 +29,6 @@ __version__ = "0.1.0"
 __all__ = [
     "FFTContext", "RFFTContext",
     "create_fft", "create_fft_f32", "create_rfft", "create_rfft_f32",
-    "fft", "ifft", "rfft", "irfft",
+    "fft", "ifft", "rfft", "irfft", "fft2", "ifft2",
     "__version__",
 ]

@@ -37,7 +37,7 @@ from .ops.rfft import rfft_planes, irfft_planes, rfft_post_twiddles
 __all__ = [
     "FFTContext", "RFFTContext",
     "create_fft", "create_fft_f32", "create_rfft", "create_rfft_f32",
-    "fft", "ifft", "rfft", "irfft",
+    "fft", "ifft", "rfft", "irfft", "fft2", "ifft2",
 ]
 
 
@@ -261,6 +261,23 @@ def _ctx(kind: str, n: int, dtype: str):
         cls = FFTContext if kind == "c2c" else RFFTContext
         _ctx_cache[key] = cls(n, dtype)
     return _ctx_cache[key]
+
+
+def fft2(x):
+    """2D FFT over the trailing [h, w] axes of a complex array (f32 path).
+    Multi-chip version: parallel.sharded.fft2_sharded."""
+    from .ops.fft2 import fft2_planes
+    x = jnp.asarray(x, jnp.complex64)
+    re, im = fft2_planes(x.real, x.imag)
+    return re + 1j * im
+
+
+def ifft2(x):
+    """Inverse 2D FFT (normalized) over the trailing [h, w] axes."""
+    from .ops.fft2 import fft2_planes
+    x = jnp.asarray(x, jnp.complex64)
+    re, im = fft2_planes(x.real, x.imag, inverse=True)
+    return re + 1j * im
 
 
 def fft(x, dtype: str = "float32"):

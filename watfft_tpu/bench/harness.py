@@ -49,7 +49,8 @@ def time_chain(step, args, r1: int = 32, r2: int = 160, reps: int = 3) -> float:
     def timed(r):
         t0 = time.perf_counter()
         out = chain(args, r=r)
-        _ = np.asarray(jax.tree.leaves(out)[0][:1, :1])
+        leaf = jax.tree.leaves(out)[0]
+        _ = np.asarray(leaf[(slice(0, 1),) * leaf.ndim])  # rank-agnostic sync
         return time.perf_counter() - t0
 
     # warm both lengths (compile), then interleave measurements and take

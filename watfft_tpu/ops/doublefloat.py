@@ -33,6 +33,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .. import config
+
 __all__ = ["df_fft_nb", "split_f64", "merge_f64"]
 
 _SPLIT = np.float32(4097.0)  # Veltkamp factor for f32: 2^12 + 1
@@ -273,8 +275,9 @@ def _df_call(rh, rl, ih, il, tws, n, inverse, tile_b, interpret=False):
         in_specs=[block] * 4 + [twspec] * 4,
         out_specs=[block] * 4,
         out_shape=[out_shape] * 4,
+        input_output_aliases={0: 0, 1: 1, 2: 2, 3: 3},
         compiler_params=None if interpret else pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+            vmem_limit_bytes=config.VMEM_LIMIT_BYTES),
         interpret=interpret,
     )(rh, rl, ih, il, *tws)
 
@@ -403,6 +406,6 @@ def df_fft_nb(rh, rl, ih, il, inverse: bool = False):
     tile_b = _df_pick_tile(n, b)
     if b % tile_b != 0:
         tile_b = 128
-    interpret = jax.default_backend() != "tpu"
+    interpret = config.FORCE_INTERPRET or jax.default_backend() != "tpu"
     return _df_call(rh, rl, ih, il, tws, n, inverse, tile_b,
                     interpret=interpret)

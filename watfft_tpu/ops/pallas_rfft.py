@@ -32,6 +32,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from .. import config
 from .pallas_stockham import stockham_fft_nb
 
 __all__ = ["rfft_nb", "irfft_nb"]
@@ -204,7 +205,7 @@ def _rfft_fused_call(x, twre, twim, wre, wim, n, tile_b, interpret=False):
         scratch_shapes=[pltpu.VMEM((m + 8, tile_b), x.dtype),
                         pltpu.VMEM((m + 8, tile_b), x.dtype)],
         compiler_params=None if interpret else pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+            vmem_limit_bytes=config.VMEM_LIMIT_BYTES),
         interpret=interpret,
     )(x, twre, twim, wre, wim)
 
@@ -231,7 +232,7 @@ def _irfft_fused_call(xre, xim, twre, twim, wre, wim, n, tile_b,
         scratch_shapes=[pltpu.VMEM((m + 8, tile_b), xre.dtype),
                         pltpu.VMEM((m + 8, tile_b), xre.dtype)],
         compiler_params=None if interpret else pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+            vmem_limit_bytes=config.VMEM_LIMIT_BYTES),
         interpret=interpret,
     )(xre, xim, twre, twim, wre, wim)
 
@@ -251,7 +252,7 @@ def rfft_nb_fused(x):
     tile_b = _pick_tile_c(n, b)
     if b % tile_b != 0:
         tile_b = 128
-    interpret = jax.default_backend() != "tpu"
+    interpret = config.FORCE_INTERPRET or jax.default_backend() != "tpu"
     return _rfft_fused_call(x, sre, sim, wre, wim, n, tile_b,
                             interpret=interpret)
 
@@ -271,7 +272,7 @@ def irfft_nb_fused(xre, xim):
     tile_b = _pick_tile_c(n, b)
     if b % tile_b != 0:
         tile_b = 128
-    interpret = jax.default_backend() != "tpu"
+    interpret = config.FORCE_INTERPRET or jax.default_backend() != "tpu"
     return _irfft_fused_call(xre, xim, sre, sim, wre, wim, n, tile_b,
                              interpret=interpret)
 

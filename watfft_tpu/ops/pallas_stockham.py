@@ -41,6 +41,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .. import config
+
 __all__ = ["stockham_fft_nb", "make_twiddle_pack", "stage_plan", "run_stages"]
 
 
@@ -236,7 +238,7 @@ def _stockham_call(xre, xim, twre, twim, n, inverse, tile_b, interpret=False):
     b = xre.shape[-1]
     stages = tuple(stage_plan(n))
     offsets = make_twiddle_pack(n, inverse)[2]
-    use3d = n <= 128 and tile_b >= 1024 and tile_b % 8 == 0
+    use3d = n <= config.USE3D_MAX_N and tile_b >= 1024 and tile_b % 8 == 0
     kernel = functools.partial(_kernel, n, inverse, offsets, stages, use3d)
     grid = (b // tile_b,)
     block = pl.BlockSpec((n, tile_b), lambda i: (0, i), memory_space=pltpu.VMEM)
@@ -248,8 +250,13 @@ def _stockham_call(xre, xim, twre, twim, n, inverse, tile_b, interpret=False):
         in_specs=[block, block, twspec, twspec],
         out_specs=[block, block],
         out_shape=[out_shape, out_shape],
+        # alias input planes onto output planes: frees their block buffers
+        # for pipeline overlap — 112us -> 50us at n=4096 (Exp 11). XLA
+        # inserts a defensive copy when the caller's buffers aren't
+        # donatable, which is still cheaper than the stalls it removes.
+        input_output_aliases={0: 0, 1: 1},
         compiler_params=None if interpret else pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+            vmem_limit_bytes=config.VMEM_LIMIT_BYTES),
         interpret=interpret,
     )(xre, xim, twre, twim)
 
@@ -301,6 +308,6 @@ def stockham_fft_nb(xre, xim, inverse: bool = False):
     tile_b = _pick_tile(n, b)
     if b % tile_b != 0:
         tile_b = 128
-    interpret = jax.default_backend() != "tpu"
+    interpret = config.FORCE_INTERPRET or jax.default_backend() != "tpu"
     return _stockham_call(xre, xim, twre, twim, n, inverse, tile_b,
                           interpret=interpret)

@@ -28,8 +28,8 @@ import numpy as np
 __all__ = ["DIRECT_MAX", "factorize", "build_tree", "PlanNode", "dft_matrix"]
 
 # Largest factor computed as a single DFT matmul on the MXU. 128 matches both
-# the MXU systolic dimension and the VPU lane width.
-DIRECT_MAX = 128
+# the MXU systolic dimension and the VPU lane width (override: WATFFT_DIRECT_MAX).
+from .config import DIRECT_MAX  # noqa: E402
 
 
 def is_power_of_two(n: int) -> bool:
