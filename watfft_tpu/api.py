@@ -24,8 +24,6 @@ index.d.ts:42-153): `create_fft(size)` / `create_fft_f32(size)` /
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional
-
 import numpy as np
 import jax
 import jax.numpy as jnp

@@ -17,7 +17,7 @@ import statistics
 import subprocess
 import time
 from dataclasses import dataclass, asdict
-from typing import Callable, Optional
+from typing import Callable
 
 import jax
 
