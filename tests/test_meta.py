@@ -10,6 +10,7 @@ import numpy as np
 import pytest
 
 from watfft_tpu import registry
+from watfft_tpu.registry import SurfaceEntry
 from watfft_tpu.reference import dft as ref
 
 
@@ -23,6 +24,7 @@ def test_every_surface_has_exactly_one_flagship():
 def test_registry_entries_are_well_formed():
     names = set()
     for e in registry.REGISTRY:
+        assert isinstance(e, SurfaceEntry)
         assert e.surface in registry.SURFACES
         assert e.dtype in ("float32", "float64")
         assert e.min_size <= e.max_size

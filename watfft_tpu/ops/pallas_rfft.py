@@ -33,9 +33,107 @@ import jax
 import jax.numpy as jnp
 
 from .. import config
-from .pallas_stockham import stockham_fft_nb
+from .pallas_stockham import (
+    stockham_fft_nb, run_stages, stage_plan, make_twiddle_pack, _pick_tile,
+    _TwCache,
+)
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["rfft_nb", "irfft_nb"]
+
+
+# -- partial-fusion core kernels (Exp 13) ------------------------------------
+# Forward: deinterleave ([m, 2, b] view) + m-point stages in ONE kernel
+# (saves the separate XLA deinterleave pass); inverse: stages + row
+# interleave in one kernel. The Hermitian mirror stays in XLA (Exp 8: the
+# in-kernel mirror walk loses to XLA's native rev).
+
+def _rfft_core_kernel(n, offsets, stages, use3d,
+                      x_ref, twre_ref, twim_ref, zre_ref, zim_ref):
+    m = n // 2
+    b = x_ref.shape[-1]
+    xv = x_ref[:].reshape(m, 2, b)
+    zre = xv[:, 0, :]
+    zim = xv[:, 1, :]
+    if use3d:
+        w = b // 8
+        zre = zre.reshape(m, 8, w)
+        zim = zim.reshape(m, 8, w)
+    zre, zim = run_stages(zre, zim, m, False, offsets, stages,
+                          twre_ref[:], twim_ref[:])
+    if use3d:
+        zre = zre.reshape(m, -1)
+        zim = zim.reshape(m, -1)
+    zre_ref[:] = zre
+    zim_ref[:] = zim
+
+
+def _irfft_core_kernel(n, offsets, stages, use3d,
+                       zre_ref, zim_ref, twre_ref, twim_ref, o_ref):
+    m = n // 2
+    b = zre_ref.shape[-1]
+    zre = zre_ref[:]
+    zim = zim_ref[:]
+    if use3d:
+        w = b // 8
+        zre = zre.reshape(m, 8, w)
+        zim = zim.reshape(m, 8, w)
+    zre, zim = run_stages(zre, zim, m, True, offsets, stages,
+                          twre_ref[:], twim_ref[:])
+    if use3d:
+        zre = zre.reshape(m, -1)
+        zim = zim.reshape(m, -1)
+    o_ref[:] = jnp.stack([zre, zim], axis=1).reshape(n, b)
+
+
+@functools.partial(jax.jit, static_argnames=("n", "tile_b", "interpret"))
+def _rfft_core_call(x, twre, twim, n, tile_b, interpret=False):
+    m = n // 2
+    b = x.shape[-1]
+    stages = tuple(stage_plan(m))
+    offsets = make_twiddle_pack(m, False)[2]
+    use3d = m <= config.USE3D_MAX_N and tile_b >= 1024 and tile_b % 8 == 0
+    kernel = functools.partial(_rfft_core_kernel, n, offsets, stages, use3d)
+    grid = (b // tile_b,)
+    xblock = pl.BlockSpec((n, tile_b), lambda i: (0, i), memory_space=pltpu.VMEM)
+    zblock = pl.BlockSpec((m, tile_b), lambda i: (0, i), memory_space=pltpu.VMEM)
+    twspec = pl.BlockSpec(twre.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+    zshape = jax.ShapeDtypeStruct((m, b), x.dtype)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[xblock, twspec, twspec],
+        out_specs=[zblock, zblock],
+        out_shape=[zshape, zshape],
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=config.VMEM_LIMIT_BYTES),
+        interpret=interpret,
+    )(x, twre, twim)
+
+
+@functools.partial(jax.jit, static_argnames=("n", "tile_b", "interpret"))
+def _irfft_core_call(zre, zim, twre, twim, n, tile_b, interpret=False):
+    m = n // 2
+    b = zre.shape[-1]
+    stages = tuple(stage_plan(m))
+    offsets = make_twiddle_pack(m, True)[2]
+    use3d = m <= config.USE3D_MAX_N and tile_b >= 1024 and tile_b % 8 == 0
+    kernel = functools.partial(_irfft_core_kernel, n, offsets, stages, use3d)
+    grid = (b // tile_b,)
+    zblock = pl.BlockSpec((m, tile_b), lambda i: (0, i), memory_space=pltpu.VMEM)
+    oblock = pl.BlockSpec((n, tile_b), lambda i: (0, i), memory_space=pltpu.VMEM)
+    twspec = pl.BlockSpec(twre.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[zblock, zblock, twspec, twspec],
+        out_specs=oblock,
+        out_shape=jax.ShapeDtypeStruct((n, b), zre.dtype),
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=config.VMEM_LIMIT_BYTES),
+        interpret=interpret,
+    )(zre, zim, twre, twim)
 
 
 class _Cache:
@@ -65,10 +163,14 @@ def rfft_nb(x):
         raise ValueError(f"batch (last axis) must be a multiple of 128, got {b}")
     m = n // 2
     wre, wim = _Cache.get(n, False)
-    # pack z[j] = x[2j] + i*x[2j+1]: strided row slices
-    zre = jax.lax.slice(x, (0, 0), (n - 1, b), (2, 1))
-    zim = jax.lax.slice(x, (1, 0), (n, b), (2, 1))
-    zre, zim = stockham_fft_nb(zre, zim, inverse=False)
+    # fused deinterleave + m-point core: one kernel, one HBM read of x
+    sre, sim = _TwCache.get(m, False)
+    tile_b = _pick_tile(m, b)
+    if b % tile_b != 0:
+        tile_b = 128
+    interpret = config.FORCE_INTERPRET or jax.default_backend() != "tpu"
+    zre, zim = _rfft_core_call(x, jnp.asarray(sre), jnp.asarray(sim), n,
+                               tile_b, interpret=interpret)
     # Hermitian recombination, lean form: one flip, one 3-part concat.
     # Core rows k = 1..m-1 use A = Z[k], B = Z[m-k]; DC and Nyquist come
     # from Z[0] alone: X[0] = Re(Z0)+Im(Z0), X[m] = Re(Z0)-Im(Z0) (real).
@@ -298,6 +400,11 @@ def irfft_nb(xre, xim):
     oim = 0.5 * dre
     zre = ere + wre * ore - wim * oim
     zim = eim + wre * oim + wim * ore
-    zre, zim = stockham_fft_nb(zre, zim, inverse=True)
-    # interleave: x[2j] = Re z[j], x[2j+1] = Im z[j]
-    return jnp.stack([zre, zim], axis=1).reshape(n, b)
+    # fused inverse core + row interleave: one kernel, one HBM write of x
+    sre, sim = _TwCache.get(m, True)
+    tile_b = _pick_tile(m, b)
+    if b % tile_b != 0:
+        tile_b = 128
+    interpret = config.FORCE_INTERPRET or jax.default_backend() != "tpu"
+    return _irfft_core_call(zre, zim, jnp.asarray(sre), jnp.asarray(sim), n,
+                            tile_b, interpret=interpret)
