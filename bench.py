@@ -66,10 +66,12 @@ def main(full: bool = False) -> None:
                 a, bb = c
                 a, bb = stockham_fft_nb(a, bb, inverse=False)
                 return stockham_fft_nb(a, bb, inverse=True)
-            # best-of-two on our side as well: slope jitter must not
-            # produce bogus per-size results in either direction
-            t_ours = min(time_chain(pstep, (xre_t, xim_t)),
-                         time_chain(pstep, (xre_t, xim_t)))
+            # median-of-three on our side: best-of would cherry-pick jitter
+            # in OUR favor (one run showed an unphysical 18x), median is
+            # robust in both directions; the baseline keeps best-of-two so
+            # jitter can only shrink the reported speedup
+            t_ours = sorted(time_chain(pstep, (xre_t, xim_t))
+                            for _ in range(3))[1]
         except Exception as e:
             print(f"  n={n}: pallas failed ({str(e)[:80]}), using fourstep",
                   file=sys.stderr)

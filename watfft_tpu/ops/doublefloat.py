@@ -167,16 +167,26 @@ def _df_interleave(parts, g, l, b):
     return out.reshape(n, b)
 
 
+def _df_interleave3(parts, g, l, s, w):
+    """3D small-n variant: keeps the (8, lanes) tiled pair dense (Exp 10)."""
+    n = len(parts) * g * l
+    out = jnp.stack([p.reshape(g, l, s, w) for p in parts], axis=1)
+    return out.reshape(n, s, w)
+
+
 def _df_stage(planes, n, r, l, tw, inverse, scale0):
-    """One stage on (reh, rel, imh, iml) planes."""
+    """One stage on (reh, rel, imh, iml) planes; 2D [n, b] or 3D [n, 8, w]."""
     q = n // r
-    b = planes[0].shape[-1]
+    three_d = planes[0].ndim == 3
     parts = [[pl_[p * q:(p + 1) * q] for pl_ in planes] for p in range(r)]
     if tw is not None:
         trh, trl, tih, til = tw
         for p in range(1, r):
             wrh = trh[(p - 1) * q:p * q]; wrl = trl[(p - 1) * q:p * q]
             wih = tih[(p - 1) * q:p * q]; wil = til[(p - 1) * q:p * q]
+            if three_d:
+                wrh, wrl = wrh.reshape(q, 1, 1), wrl.reshape(q, 1, 1)
+                wih, wil = wih.reshape(q, 1, 1), wil.reshape(q, 1, 1)
             arh, arl, aih, ail = parts[p]
             parts[p] = list(df_cmul(arh, arl, aih, ail, wrh, wrl, wih, wil))
     if scale0 is not None:
@@ -193,6 +203,11 @@ def _df_stage(planes, n, r, l, tw, inverse, scale0):
                 parts[p] = [rh, rl, ih, il]
     outs = _df_small_dft(parts, inverse)
     g = n // (r * l)
+    if three_d:
+        s, w = planes[0].shape[-2], planes[0].shape[-1]
+        return tuple(_df_interleave3([o[i] for o in outs], g, l, s, w)
+                     for i in range(4))
+    b = planes[0].shape[-1]
     return tuple(_df_interleave([o[i] for o in outs], g, l, b) for i in range(4))
 
 
@@ -236,11 +251,14 @@ def _mul_i(a, inverse):
 
 # -- kernel -------------------------------------------------------------------
 
-def _df_kernel(n, inverse, offsets, stages,
+def _df_kernel(n, inverse, offsets, stages, use3d,
                rh_ref, rl_ref, ih_ref, il_ref,
                trh_ref, trl_ref, tih_ref, til_ref,
                orh_ref, orl_ref, oih_ref, oil_ref):
     planes = (rh_ref[:], rl_ref[:], ih_ref[:], il_ref[:])
+    if use3d:
+        w = planes[0].shape[-1] // 8
+        planes = tuple(p.reshape(n, 8, w) for p in planes)
     inv_h, inv_l = split_f64(np.array([1.0 / n]))
     scale = (jnp.float32(inv_h[0]), jnp.float32(inv_l[0]))
     for idx, (r, l) in enumerate(stages):
@@ -253,6 +271,8 @@ def _df_kernel(n, inverse, offsets, stages,
                   tih_ref[o:o + rows], til_ref[o:o + rows])
         scale0 = scale if (inverse and is_final) else None
         planes = _df_stage(planes, n, r, l, tw, inverse, scale0)
+    if use3d:
+        planes = tuple(p.reshape(n, -1) for p in planes)
     orh_ref[:] = planes[0]
     orl_ref[:] = planes[1]
     oih_ref[:] = planes[2]
@@ -264,7 +284,8 @@ def _df_call(rh, rl, ih, il, tws, n, inverse, tile_b, interpret=False):
     b = rh.shape[-1]
     stages = tuple(_df_stage_plan(n))
     offsets = _df_twiddle_pack(n, inverse)[1]
-    kernel = functools.partial(_df_kernel, n, inverse, offsets, stages)
+    use3d = n <= config.USE3D_MAX_N and tile_b >= 1024 and tile_b % 8 == 0
+    kernel = functools.partial(_df_kernel, n, inverse, offsets, stages, use3d)
     grid = (b // tile_b,)
     block = pl.BlockSpec((n, tile_b), lambda i: (0, i), memory_space=pltpu.VMEM)
     twspec = pl.BlockSpec(tws[0].shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
@@ -294,11 +315,10 @@ class _Cache:
 
 
 def _df_pick_tile(n: int, b: int) -> int:
-    """df stages hold ~2x the planes of the f32 kernel; halve the budget."""
-    if n <= 32:
-        tb = 512
-    elif n <= 512:
-        tb = 128
+    """df stages hold ~2x the planes of the f32 kernel; halve the budget.
+    n <= 128 uses wide tiles for the 3D small-n mode (Exp 10)."""
+    if n <= 128:
+        tb = 1024
     else:
         tb = 128
     while tb > b and tb > 128:

@@ -166,6 +166,38 @@ def _mk_doublefloat(inverse: bool):
     return make
 
 
+def _mk_rfft_fused(direction: str):
+    """Single-pass fused Pallas real surface (alternate, non-flagship)."""
+    import jax.numpy as jnp
+    from .ops.pallas_rfft import rfft_nb_fused, irfft_nb_fused
+
+    def make(n: int):
+        m = n // 2
+
+        def run(x):
+            x = np.asarray(x)
+            squeeze = x.ndim == 1
+            x2 = np.atleast_2d(x)
+            b = x2.shape[0]
+            bp = max(128, ((b + 127) // 128) * 128)
+            if direction == "forward":
+                xt = np.zeros((n, bp), np.float32)
+                xt[:, :b] = np.real(x2).T
+                yre, yim = rfft_nb_fused(jnp.asarray(xt))
+                out = (np.asarray(yre)[:, :b] + 1j * np.asarray(yim)[:, :b]).T
+            else:
+                x2 = x2.astype(np.complex64)
+                xre = np.zeros((m + 1, bp), np.float32)
+                xim = np.zeros((m + 1, bp), np.float32)
+                xre[:, :b] = x2.real.T
+                xim[:, :b] = x2.imag.T
+                out = np.asarray(irfft_nb_fused(jnp.asarray(xre),
+                                                jnp.asarray(xim)))[:, :b].T
+            return out[0] if squeeze else out
+        return run
+    return make
+
+
 def _mk_doublefloat_rfft(direction: str):
     """Double-f32 real surface (f64-class TPU real transforms, both
     directions — the reference's f64 real module had no inverse)."""
@@ -233,6 +265,14 @@ def _build_registry() -> list[SurfaceEntry]:
             name="doublefloat-rfft", surface=surface, dtype="float64",
             min_size=8, max_size=1024, flagship=False, baseline=False,
             make=_mk_doublefloat_rfft(direction)))
+    for surface, direction in (("real-forward", "forward"),
+                               ("real-inverse", "inverse")):
+        # alternate single-pass fused surface (EXPERIMENT_LOG Exp 8) — kept
+        # registered so it cannot rot; max_size bounds CPU-interpret time
+        out.append(SurfaceEntry(
+            name="rfft-pallas-fused", surface=surface, dtype="float32",
+            min_size=16, max_size=1024, flagship=False, baseline=False,
+            make=_mk_rfft_fused(direction)))
     for dtype in ("float32", "float64"):
         max_n = 1 << 20
         for surface, kind, direction in (

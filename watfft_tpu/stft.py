@@ -96,9 +96,12 @@ def _stft_tpu(x, n_fft: int, hop: int, window: str):
 
 def istft(sre, sim, n_fft: int = 1024, hop: int = 256, window: str = "hann",
           length: int | None = None):
-    # NOTE: plan contexts are created eagerly (outside any jit) — creating
-    # them under a trace would cache tracer-backed tables.
-    """Inverse STFT with windowed overlap-add (COLA normalization)."""
+    """Inverse STFT with windowed overlap-add (COLA normalization).
+
+    Overlap-add is ONE scatter-add over a precomputed index matrix (XLA
+    lowers it to an efficient segment reduction), not a per-frame loop.
+    NOTE: plan contexts are created eagerly (outside any jit) — creating
+    them under a trace would cache tracer-backed tables."""
     ctx = _ctx_cache_get(n_fft)
     frames = ctx.inverse_planes(sre, sim)  # [..., num, n_fft]
     w = jnp.asarray(get_window(window, n_fft))
@@ -106,11 +109,12 @@ def istft(sre, sim, n_fft: int = 1024, hop: int = 256, window: str = "hann",
     num = frames.shape[-2]
     t = (num - 1) * hop + n_fft
     batch = frames.shape[:-2]
-    out = jnp.zeros((*batch, t), frames.dtype)
-    norm = jnp.zeros((t,), frames.dtype)
-    for i in range(num):  # static unroll; num is static under jit
-        out = out.at[..., i * hop: i * hop + n_fft].add(frames[..., i, :])
-        norm = norm.at[i * hop: i * hop + n_fft].add(w * w)
+    idx = (np.arange(num)[:, None] * hop
+           + np.arange(n_fft)[None, :]).reshape(-1)
+    flat = frames.reshape(*batch, num * n_fft)
+    out = jnp.zeros((*batch, t), frames.dtype).at[..., idx].add(flat)
+    norm = jnp.zeros((t,), frames.dtype).at[idx].add(
+        jnp.tile(w * w, num))
     out = out / jnp.maximum(norm, 1e-8)
     if length is not None:
         out = out[..., :length]
