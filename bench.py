@@ -161,13 +161,15 @@ def main(full: bool = False) -> None:
                 a, bb = c
                 a, bb = fft_large(a, bb, inverse=False)
                 return fft_large(a, bb, inverse=True)
-            t_l = time_chain(lstep, (xs, ys), r1=8, r2=40)
+            t_l = sorted(time_chain(lstep, (xs, ys), r1=16, r2=96)
+                         for _ in range(3))[1]
 
             def jlstep(c):
                 a, bb = c
                 z = jnp.fft.ifft(jnp.fft.fft(a + 1j * bb))
                 return z.real, z.imag
-            t_jl = time_chain(jlstep, (xs, ys), r1=8, r2=40)
+            t_jl = min(time_chain(jlstep, (xs, ys), r1=16, r2=96)
+                       for _ in range(2))
             print(f"  [large] 2^{log} ours={t_l*1e6:,.0f}us "
                   f"jnp={t_jl*1e6:,.0f}us x{t_jl/t_l:.2f}", file=sys.stderr)
             results.append(BenchResult(name=f"watfft/fft-large/f32/n{nn}",

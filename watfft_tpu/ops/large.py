@@ -25,7 +25,7 @@ import functools
 import numpy as np
 import jax
 
-from .pallas_stockham import stockham_fft_nb
+from .pallas_stockham import stockham_fft_nb, stockham_fft_nb_postmul
 
 __all__ = ["fft_large", "large_split"]
 
@@ -58,13 +58,13 @@ class _TwCache:
 
 @functools.partial(jax.jit, static_argnames=("n1", "n2", "inverse"))
 def _fft_large(xre, xim, twre, twim, n1, n2, inverse):
-    # step 1: inner FFTs down the columns: [n2, n1] time-major, batch = n1
+    # step 1+2: inner FFTs down the columns with the four-step twiddle
+    # fused into the kernel's store epilogue (Exp 14: the standalone XLA
+    # multiply pass cost ~40us/dir at 2^20)
     xre = xre.reshape(n2, n1)
     xim = xim.reshape(n2, n1)
-    bre, bim = stockham_fft_nb(xre, xim, inverse=inverse)
-    # step 2+3: twiddle fused with transpose
-    cre = bre * twre - bim * twim
-    cim = bre * twim + bim * twre
+    cre, cim = stockham_fft_nb_postmul(xre, xim, twre, twim, inverse=inverse)
+    # step 3: the one unavoidable transpose (pure relayout, XLA)
     cre = cre.T
     cim = cim.T
     # step 4: outer FFTs -> D[k1, k2]; flat order is the natural output

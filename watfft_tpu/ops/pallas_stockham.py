@@ -233,6 +233,70 @@ def _kernel(n, inverse, offsets, stages, use3d,
     oim_ref[:] = cim
 
 
+def _kernel_postmul(n, inverse, offsets, stages, use3d,
+                    xre_ref, xim_ref, twre_ref, twim_ref,
+                    pmre_ref, pmim_ref, ore_ref, oim_ref):
+    """Stockham stages + elementwise complex post-multiply fused into the
+    store epilogue (the four-step twiddle of ops/large.py — Exp 14: the
+    separate XLA multiply pass cost ~40us/dir at 2^20)."""
+    cre = xre_ref[:]
+    cim = xim_ref[:]
+    if use3d:
+        w = cre.shape[-1] // 8
+        cre = cre.reshape(n, 8, w)
+        cim = cim.reshape(n, 8, w)
+    cre, cim = run_stages(cre, cim, n, inverse, offsets, stages,
+                          twre_ref[:], twim_ref[:])
+    if use3d:
+        cre = cre.reshape(n, -1)
+        cim = cim.reshape(n, -1)
+    pre = pmre_ref[:]
+    pim = pmim_ref[:]
+    ore_ref[:] = cre * pre - cim * pim
+    oim_ref[:] = cre * pim + cim * pre
+
+
+@functools.partial(jax.jit, static_argnames=("n", "inverse", "tile_b", "interpret"))
+def _stockham_call_postmul(xre, xim, twre, twim, pmre, pmim, n, inverse,
+                           tile_b, interpret=False):
+    b = xre.shape[-1]
+    stages = tuple(stage_plan(n))
+    offsets = make_twiddle_pack(n, inverse)[2]
+    use3d = n <= config.USE3D_MAX_N and tile_b >= 1024 and tile_b % 8 == 0
+    kernel = functools.partial(_kernel_postmul, n, inverse, offsets, stages,
+                               use3d)
+    grid = (b // tile_b,)
+    block = pl.BlockSpec((n, tile_b), lambda i: (0, i), memory_space=pltpu.VMEM)
+    twspec = pl.BlockSpec(twre.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((n, b), xre.dtype)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[block, block, twspec, twspec, block, block],
+        out_specs=[block, block],
+        out_shape=[out_shape, out_shape],
+        input_output_aliases={0: 0, 1: 1},
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=config.VMEM_LIMIT_BYTES),
+        interpret=interpret,
+    )(xre, xim, twre, twim, pmre, pmim)
+
+
+def stockham_fft_nb_postmul(xre, xim, pmre, pmim, inverse: bool = False):
+    """Batched FFT followed by an elementwise complex multiply with
+    (pmre, pmim) [n, batch], fused into the kernel's store."""
+    n, b = xre.shape[-2], xre.shape[-1]
+    if b % 128 != 0:
+        raise ValueError(f"batch (last axis) must be a multiple of 128, got {b}")
+    twre, twim = _TwCache.get(n, inverse)
+    tile_b = _pick_tile(n, b)
+    if b % tile_b != 0:
+        tile_b = 128
+    interpret = config.FORCE_INTERPRET or jax.default_backend() != "tpu"
+    return _stockham_call_postmul(xre, xim, twre, twim, pmre, pmim, n,
+                                  inverse, tile_b, interpret=interpret)
+
+
 @functools.partial(jax.jit, static_argnames=("n", "inverse", "tile_b", "interpret"))
 def _stockham_call(xre, xim, twre, twim, n, inverse, tile_b, interpret=False):
     b = xre.shape[-1]
