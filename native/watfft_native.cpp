@@ -56,12 +56,16 @@ static int32_t build_plan(int32_t n, int32_t* radices) {
   for (int32_t i = 0; i < sixteens; ++i) radices[count++] = 16;
   if (rem) {
     int32_t r = 1 << rem;
-    if (count) {  // insert after the first 16
+    if (!count) {
+      radices[count++] = r;
+    } else if (r == 8) {  // radix-8 leads: twiddle-free, pad-free (Exp 15)
+      for (int32_t i = count; i > 0; --i) radices[i] = radices[i - 1];
+      radices[0] = r;
+      ++count;
+    } else {  // rem 2/4 after the first 16
       for (int32_t i = count; i > 1; --i) radices[i] = radices[i - 1];
       radices[1] = r;
       ++count;
-    } else {
-      radices[count++] = r;
     }
   }
   return count;

@@ -56,13 +56,17 @@ def stage_plan(n: int) -> list[tuple[int, int]]:
         radices.append(16)
         m -= 4
     if m:
-        # place the small remainder right after the first 16 (l=16) if one
-        # exists; at the front otherwise (tiny n)
         rem = 1 << m
-        if radices:
-            radices.insert(1, rem)
+        if not radices:
+            radices.append(rem)          # tiny n: single stage
+        elif rem == 8:
+            # radix-8 first: its l=1 stage is twiddle-free AND its [g, 8, b]
+            # merged interleave has no sublane pad — 83 -> 72us at n=2048
+            # (Exp 15). rem 2/4 first would pad 4x/2x on a full-size early
+            # stage (184us/163us measured) so they stay at position 1.
+            radices.insert(0, rem)
         else:
-            radices.append(rem)
+            radices.insert(1, rem)
     stages = []
     l = 1
     for r in radices:
