@@ -62,3 +62,22 @@ def test_fft_large_native_inverse():
 def test_fft_large_rejects_small():
     with pytest.raises(ValueError):
         fft_large(np.zeros(4096, np.float32), np.zeros(4096, np.float32))
+
+
+def test_postmul_kernel_matches_separate_multiply():
+    """stockham_fft_nb_postmul == fft followed by elementwise complex mul."""
+    import jax.numpy as jnp
+    from watfft_tpu.ops.pallas_stockham import (
+        stockham_fft_nb, stockham_fft_nb_postmul)
+    rng = ref.seeded_rng(7)
+    n, b = 256, 128
+    xre = jnp.asarray(rng.uniform(-1, 1, (n, b)).astype(np.float32))
+    xim = jnp.asarray(rng.uniform(-1, 1, (n, b)).astype(np.float32))
+    pre = jnp.asarray(rng.uniform(-1, 1, (n, b)).astype(np.float32))
+    pim = jnp.asarray(rng.uniform(-1, 1, (n, b)).astype(np.float32))
+    fre, fim = stockham_fft_nb(xre, xim)
+    expected_re = fre * pre - fim * pim
+    expected_im = fre * pim + fim * pre
+    gre, gim = stockham_fft_nb_postmul(xre, xim, pre, pim)
+    assert np.max(np.abs(np.asarray(gre) - np.asarray(expected_re))) < 1e-3
+    assert np.max(np.abs(np.asarray(gim) - np.asarray(expected_im))) < 1e-3

@@ -30,24 +30,12 @@ def _sync(out):
 
 
 def time_chain(step, args, r1=R1, r2=R2, reps=3):
-    """step: (carry)->(carry). Returns seconds per iteration via slope."""
-    @partial(jax.jit, static_argnames=("r",))
-    def chain(carry, r):
-        return jax.lax.fori_loop(0, r, lambda i, c: step(c), carry)
-
-    def run(r):
-        out = chain(args, r=r)
-        _sync(out)
-        best = float("inf")
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            out = chain(args, r=r)
-            _sync(out)
-            best = min(best, time.perf_counter() - t0)
-        return best
-
-    t1, t2 = run(r1), run(r2)
-    return max((t2 - t1) / (r2 - r1), 1e-9)
+    """step: (carry)->(carry). Seconds per iteration = median-of-3 slopes
+    (single slopes can degenerate to ~0 or negative under tunnel jitter)."""
+    from watfft_tpu.bench.harness import time_chain as _tc
+    slopes = sorted(_tc(step, args, r1=r1, r2=r2, reps=reps)
+                    for _ in range(3))
+    return slopes[1]
 
 
 def main():

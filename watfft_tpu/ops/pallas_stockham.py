@@ -43,13 +43,15 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .. import config
 
-__all__ = ["stockham_fft_nb", "make_twiddle_pack", "stage_plan", "run_stages"]
+__all__ = ["stockham_fft_nb", "stockham_fft_nb_postmul",
+           "make_twiddle_pack", "stage_plan", "run_stages"]
 
 
 def stage_plan(n: int) -> list[tuple[int, int]]:
-    """Stage sequence as (R, l) pairs: radix-16 stages with one {2,4,8}
-    remainder stage second (l=16), so every interleave view has a >=8-sized
-    second-minor dim where possible."""
+    """Stage sequence as (R, l) pairs: radix-16 stages plus one {2,4,8}
+    remainder stage — radix-8 leads (twiddle-free, pad-free at l=1, Exp 15);
+    radix-2/4 sit at position 1 (l=16) so their interleave views keep a
+    >=8-sized second-minor dim."""
     m = n.bit_length() - 1
     radices: list[int] = []
     while m >= 4:
