@@ -29,7 +29,7 @@ def test_split_merge_roundtrip():
     assert err < 1e-14
 
 
-@pytest.mark.parametrize("n", [4, 8, 16, 64, 256, 1024])
+@pytest.mark.parametrize("n", [4, 8, 16, 64, 1024])
 def test_df_fft_accuracy(n):
     rng = ref.seeded_rng(n)
     x = rng.uniform(-1, 1, (128, n)) + 1j * rng.uniform(-1, 1, (128, n))
@@ -42,7 +42,7 @@ def test_df_fft_accuracy(n):
     assert err < 1e-11, f"n={n} err={err:.3e}"
 
 
-@pytest.mark.parametrize("n", [8, 64, 512])
+@pytest.mark.parametrize("n", [8, 64, 256])
 def test_df_native_inverse_roundtrip(n):
     rng = ref.seeded_rng(n + 1)
     x = rng.uniform(-1, 1, (128, n)) + 1j * rng.uniform(-1, 1, (128, n))

@@ -109,17 +109,12 @@ def merge_f64(hi, lo) -> np.ndarray:
 # -- plan ---------------------------------------------------------------------
 
 def _df_stage_plan(n: int) -> list[tuple[int, int]]:
-    """Radix-4 stages with a radix-2 lead for odd log2 n."""
-    m = n.bit_length() - 1
-    stages = []
-    l = 1
-    if m % 2 == 1:
-        stages.append((2, 1))
-        l = 2
-    while l < n:
-        stages.append((4, l))
-        l *= 4
-    return stages
+    """Mixed-radix plan, same policy as the f32 kernel (Exp 4/15): radix-16
+    stages + one {2,4,8} remainder (radix-8 leads; 2/4 at position 1).
+    Fewer stages halve the 4-plane permute passes; the butterfly network's
+    non-exact constants become df hi/lo scalar pairs."""
+    from .pallas_stockham import stage_plan as _f32_plan
+    return _f32_plan(n)
 
 
 def _df_twiddle_pack(n: int, inverse: bool):
@@ -212,22 +207,33 @@ def _df_stage(planes, n, r, l, tw, inverse, scale0):
 
 
 def _df_small_dft(parts, inverse):
-    """R-point DFT across df parts; R in {2, 4} so all twiddle constants are
-    exact (1, -1, +-i) and butterflies are pure df adds."""
+    """R-point DFT across df parts (R power of two) via the radix-2
+    recursion; non-exact twiddle constants are df (hi, lo) scalar pairs
+    split from f64, so accuracy stays at the ~1e-15 tier."""
     r = len(parts)
-    if r == 2:
-        a, b_ = parts
-        sh, sl = df_add(a[0], a[1], b_[0], b_[1])
-        sih, sil = df_add(a[2], a[3], b_[2], b_[3])
-        dh, dl = df_sub(a[0], a[1], b_[0], b_[1])
-        dih, dil = df_sub(a[2], a[3], b_[2], b_[3])
-        return [[sh, sl, sih, sil], [dh, dl, dih, dil]]
-    assert r == 4
-    p0, p1, p2, p3 = parts
-    t0 = _cadd(p0, p2); t1 = _csub(p0, p2)
-    t2 = _cadd(p1, p3); t3 = _csub(p1, p3)
-    rot = _mul_i(t3, inverse)
-    return [_cadd(t0, t2), _cadd(t1, rot), _csub(t0, t2), _csub(t1, rot)]
+    if r == 1:
+        return parts
+    evens = _df_small_dft(parts[0::2], inverse)
+    odds = _df_small_dft(parts[1::2], inverse)
+    half = r // 2
+    sign = +1.0 if inverse else -1.0
+    out = [None] * r
+    for q in range(half):
+        ang = sign * 2.0 * np.pi * q / r
+        oq = odds[q]
+        if q == 0:
+            t = oq
+        elif 4 * q == r:
+            t = _mul_i(oq, inverse)
+        else:
+            wrh, wrl = split_f64(np.array([np.cos(ang)]))
+            wih, wil = split_f64(np.array([np.sin(ang)]))
+            t = list(df_cmul(oq[0], oq[1], oq[2], oq[3],
+                             jnp.float32(wrh[0]), jnp.float32(wrl[0]),
+                             jnp.float32(wih[0]), jnp.float32(wil[0])))
+        out[q] = _cadd(evens[q], t)
+        out[q + half] = _csub(evens[q], t)
+    return out
 
 
 def _cadd(a, b):

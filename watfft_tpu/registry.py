@@ -253,17 +253,18 @@ def _build_registry() -> list[SurfaceEntry]:
             make=_mk_rfft_pallas(direction)))
     for surface, inverse in (("complex-forward", False),
                              ("complex-inverse", True)):
-        # max_size 1024 bounds CPU-interpret test time; the kernel itself
-        # runs any power of two (dedicated suite: tests/test_doublefloat.py)
+        # max_size 128 bounds CPU-interpret test time (the radix-16 df
+        # expression is expensive to trace); the kernel runs any power of
+        # two — larger sizes are covered by tests/test_doublefloat.py
         out.append(SurfaceEntry(
             name="doublefloat-pallas", surface=surface, dtype="float64",
-            min_size=2, max_size=1024, flagship=False, baseline=False,
+            min_size=2, max_size=128, flagship=False, baseline=False,
             make=_mk_doublefloat(inverse)))
     for surface, direction in (("real-forward", "forward"),
                                ("real-inverse", "inverse")):
         out.append(SurfaceEntry(
             name="doublefloat-rfft", surface=surface, dtype="float64",
-            min_size=8, max_size=1024, flagship=False, baseline=False,
+            min_size=8, max_size=128, flagship=False, baseline=False,
             make=_mk_doublefloat_rfft(direction)))
     for surface, direction in (("real-forward", "forward"),
                                ("real-inverse", "inverse")):
