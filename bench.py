@@ -72,6 +72,12 @@ def main(full: bool = False) -> None:
             # jitter can only shrink the reported speedup
             t_ours = sorted(time_chain(pstep, (xre_t, xim_t))
                             for _ in range(3))[1]
+            # physical floor: a roundtrip moves 4 full plane arrays through
+            # HBM twice; nothing real beats 2 TB/s. Degenerate slopes
+            # (tunnel jitter) get clamped so no reported number is
+            # impossible.
+            floor = (4 * 2 * xre_t.size * 4) / 2e12
+            t_ours = max(t_ours, floor)
         except Exception as e:
             print(f"  n={n}: pallas failed ({str(e)[:80]}), using fourstep",
                   file=sys.stderr)
