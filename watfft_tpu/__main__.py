@@ -34,6 +34,15 @@ def main(argv=None):
     expected = ref.dft(x)
     scale = max(float(np.max(np.abs(expected))), 1e-30)
 
+    import jax
+    import jax.numpy as jnp
+
+    def to_host(a):
+        # complex device arrays must leave via planes (axon tunnel limit)
+        if isinstance(a, jax.Array) and jnp.iscomplexobj(a):
+            return np.asarray(a.real) + 1j * np.asarray(a.imag)
+        return np.asarray(a)
+
     print(f"size={n} signal={args.signal} dtype={args.dtype}")
     failures = 0
     for e in registry.entries("complex-forward", args.dtype,
@@ -41,7 +50,7 @@ def main(argv=None):
         if not (e.min_size <= n <= e.max_size):
             continue
         try:
-            got = np.asarray(e.make(n)(x))
+            got = to_host(e.make(n)(x))
             err = float(np.max(np.abs(got - expected))) / scale
             ok = err < MAX_REL[args.dtype] * 4
             print(f"  {e.surface:<16} {e.name:<20} err={err:.3e} "

@@ -55,26 +55,85 @@ _get_r2c = _ctx_cached("r2c")
 
 
 def _mk(kind: str, direction: str, dtype: str):
+    """Context-API surface, adapted to split-plane host I/O: complex dtypes
+    never cross host<->device (the axon TPU tunnel cannot transfer them, and
+    eager complex ops fail outside jit)."""
     def make(n: int):
         ctx = (_get_c2c if kind == "c2c" else _get_r2c)(n, dtype)
-        return ctx.forward if direction == "forward" else ctx.inverse
+        rdt = np.float64 if dtype == "float64" else np.float32
+
+        def run(x):
+            x = np.asarray(x)
+            if kind == "c2c":
+                fn = (ctx.forward_planes if direction == "forward"
+                      else ctx.inverse_planes)
+                re, im = fn(np.ascontiguousarray(x.real, dtype=rdt),
+                            np.ascontiguousarray(x.imag, dtype=rdt))
+                return np.asarray(re) + 1j * np.asarray(im)
+            if direction == "forward":
+                re, im = ctx.forward_planes(
+                    np.ascontiguousarray(x.real, dtype=rdt))
+                return np.asarray(re) + 1j * np.asarray(im)
+            return np.asarray(ctx.inverse_planes(
+                np.ascontiguousarray(x.real, dtype=rdt),
+                np.ascontiguousarray(x.imag, dtype=rdt)))
+        return run
     return make
 
 
 def _mk_jnp_fft(surface: str, dtype: str):
     """jnp.fft baseline — the flagship competitor (SURVEY.md §4 tier 7:
     'verify jnp.fft baselines are configured fairly'). Full transform
-    including any layout conversion, matching how our surfaces are charged."""
+    including any layout conversion, matching how our surfaces are charged.
+    Complex stays strictly inside the jit (real-plane signatures): the axon
+    TPU tunnel cannot transfer complex arrays host<->device and eager
+    complex ops fail outside jit."""
+    import jax
     import jax.numpy as jnp
 
+    @jax.jit
+    def _fft_planes(re, im):
+        y = jnp.fft.fft(re + 1j * im)
+        return y.real, y.imag
+
+    @jax.jit
+    def _ifft_planes(re, im):
+        y = jnp.fft.ifft(re + 1j * im)
+        return y.real, y.imag
+
+    @jax.jit
+    def _rfft_planes(re):
+        y = jnp.fft.rfft(re)
+        return y.real, y.imag
+
     def make(n: int):
+        rdt = np.float64 if dtype == "float64" else np.float32
+
+        def planes(x):
+            x = np.asarray(x)
+            return (np.ascontiguousarray(x.real, dtype=rdt),
+                    np.ascontiguousarray(x.imag, dtype=rdt))
+
         if surface == "complex-forward":
-            return lambda x: jnp.fft.fft(jnp.asarray(x))
-        if surface == "complex-inverse":
-            return lambda x: jnp.fft.ifft(jnp.asarray(x))
-        if surface == "real-forward":
-            return lambda x: jnp.fft.rfft(jnp.asarray(x))
-        return lambda x: jnp.fft.irfft(jnp.asarray(x), n=n)
+            def run(x):
+                re, im = _fft_planes(*planes(x))
+                return np.asarray(re) + 1j * np.asarray(im)
+        elif surface == "complex-inverse":
+            def run(x):
+                re, im = _ifft_planes(*planes(x))
+                return np.asarray(re) + 1j * np.asarray(im)
+        elif surface == "real-forward":
+            def run(x):
+                re, im = _rfft_planes(np.asarray(x).astype(rdt))
+                return np.asarray(re) + 1j * np.asarray(im)
+        else:
+            @jax.jit
+            def _irfft_planes(re, im):
+                return jnp.fft.irfft(re + 1j * im, n=n)
+
+            def run(x):
+                return np.asarray(_irfft_planes(*planes(x)))
+        return run
     return make
 
 
