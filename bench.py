@@ -1,5 +1,5 @@
 #!/usr/bin/env python
-"""Headline benchmark: batched f32 complex FFT vs jnp.fft on one chip.
+"""Headline benchmark + registry-driven surface sweep on one chip.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
@@ -11,6 +11,13 @@ roundtrip measured as the SLOPE between two lax.fori_loop chain lengths
 watfft_tpu/bench/harness.py:time_chain). Each side runs in its preferred
 layout with split-plane I/O: ours time-major [n, batch] (batch on lanes),
 jnp.fft batch-major [batch, n].
+
+The DEFAULT mode also benches one representative point for EVERY
+non-baseline registry surface (BENCHED_SURFACES below; enforced by
+tests/test_meta.py::test_bench_enumerates_registry — the reference's
+BENCH_COVERAGE meta-test, wat-surfaces.mjs:217-231, existed because a stale
+bench mis-reported for two generations), plus the STFT workload and the
+large-N four-step (BASELINE configs 4-5). --full widens the sweeps.
 
 vs_baseline = value / 2.0 (the BASELINE target is >=2x jnp.fft per chip).
 Details go to stderr + benchmarks/results/headline.latest.json.
@@ -27,12 +34,35 @@ import numpy as np
 
 SIZES = [16, 64, 256, 1024, 2048, 4096]
 TOTAL_ELEMS = 1 << 21
+# v5e HBM datasheet bandwidth per direction (reads and writes overlap).
+# Exp 17 validated this as the tight floor for Pallas custom-call chains:
+# a roundtrip reads 4 plane arrays and writes 4; the floor is one
+# direction's bytes at 819 GB/s (n=64 measures ~43us vs the floor's 41us).
+# Pure-XLA chains can legitimately beat HBM rooflines (VMEM-resident
+# carries, Exp 17), so the clamp applies to the Pallas paths only.
+HBM_BW_PER_DIR = 0.819e12
+
+# Every non-baseline registry surface must appear here (meta-test enforced).
+BENCHED_SURFACES = {
+    "stockham-pallas",    # headline sweep
+    "dispatch",           # public API (planner) point
+    "mxu-dft",            # small-N MXU alternative
+    "rfft-pallas",        # real path sweep
+    "rfft-pallas-fused",  # single-pass fused real point
+    "doublefloat-pallas", # f64 tier complex point
+    "doublefloat-rfft",   # f64 tier real point
+    "fourstep-mxu",       # XLA path in its dispatch domain (n > 4096)
+}
+
+
+def _roundtrip_floor(plane_elems: int) -> float:
+    return (4 * plane_elems * 4) / HBM_BW_PER_DIR
 
 
 def main(full: bool = False) -> None:
     import jax
     import jax.numpy as jnp
-    from watfft_tpu.api import FFTContext
+    from watfft_tpu.api import FFTContext, RFFTContext
     from watfft_tpu.ops.pallas_stockham import stockham_fft_nb
     from watfft_tpu.bench.harness import save_results, BenchResult, time_chain
 
@@ -40,6 +70,13 @@ def main(full: bool = False) -> None:
     results = []
     speedups = []
 
+    def record(name, t, b, items=2):
+        results.append(BenchResult(name=name, ops_per_sec=items * b / t,
+                                   cv=0.0, batch=b, items_per_call=items * b,
+                                   samples=[]))
+
+    # ---------------- headline sweep: flagship kernel vs jnp.fft ----------
+    raw_times = {}
     for n in SIZES:
         b = max(128, TOTAL_ELEMS // n)
         host_re = rng.uniform(-1, 1, (b, n)).astype(np.float32)
@@ -66,73 +103,176 @@ def main(full: bool = False) -> None:
                 a, bb = c
                 a, bb = stockham_fft_nb(a, bb, inverse=False)
                 return stockham_fft_nb(a, bb, inverse=True)
-            # median-of-three on our side: best-of would cherry-pick jitter
-            # in OUR favor (one run showed an unphysical 18x), median is
-            # robust in both directions; the baseline keeps best-of-two so
-            # jitter can only shrink the reported speedup
+            # median on our side: best-of would cherry-pick jitter in OUR
+            # favor; the baseline keeps best-of-two so jitter can only
+            # shrink the reported speedup. Small n gets 5 reps (jitter is
+            # largest relative to the ~40us signal there).
+            reps = 5 if n <= 64 else 3
             t_ours = sorted(time_chain(pstep, (xre_t, xim_t))
-                            for _ in range(3))[1]
-            # physical floor: a roundtrip moves 4 full plane arrays through
-            # HBM twice; nothing real beats 2 TB/s. Degenerate slopes
-            # (tunnel jitter) get clamped so no reported number is
-            # impossible.
-            floor = (4 * 2 * xre_t.size * 4) / 2e12
-            t_ours = max(t_ours, floor)
+                            for _ in range(reps))[reps // 2]
+            t_ours = max(t_ours, _roundtrip_floor(xre_t.size))
         except Exception as e:
             print(f"  n={n}: pallas failed ({str(e)[:80]}), using fourstep",
                   file=sys.stderr)
             ours_name = "fourstep-mxu"
             ctx = FFTContext(n, "float32")
-            ft, it_ = ctx._fwd_tables, ctx._inv_tables
 
             def fstep(c):
                 a, bb = c
-                a, bb = ctx._planes_fn(a, bb, ft)
-                return ctx._planes_fn(a, bb, it_)
+                a, bb = ctx.forward_planes_fourstep(a, bb)
+                return ctx.inverse_planes_fourstep(a, bb)
             t_ours = time_chain(fstep, (xre, xim))
 
+        raw_times[n] = t_ours
         speedups.append(t_base / t_ours)
-        # ops/s here counts single transforms: one roundtrip = 2 transforms
-        results.append(BenchResult(name=f"watfft/{ours_name}/f32/n{n}",
-                                   ops_per_sec=2 * b / t_ours, cv=0.0,
-                                   batch=b, items_per_call=2 * b, samples=[]))
-        results.append(BenchResult(name=f"jnp.fft/f32/n{n}",
-                                   ops_per_sec=2 * b / t_base, cv=0.0,
-                                   batch=b, items_per_call=2 * b, samples=[]))
+        # ops/s counts single transforms: one roundtrip = 2 transforms
+        record(f"watfft/{ours_name}/f32/n{n}", t_ours, b)
+        record(f"jnp.fft/f32/n{n}", t_base, b)
         print(f"  n={n:<6} ours({ours_name})={2*b/t_ours:,.0f}/s  "
               f"jnp={2*b/t_base:,.0f}/s  x{speedups[-1]:.2f}", file=sys.stderr)
 
     geomean = math.exp(sum(map(math.log, speedups)) / len(speedups))
 
-    if full:
-        from watfft_tpu.ops.pallas_rfft import rfft_nb, irfft_nb
-        for n in (256, 1024, 4096):
+    # ---------------- public API dispatch point (planner) -----------------
+    # VERDICT r1 #3 evidence: the public context API (batch-major planes)
+    # must land within ~1.2x of the raw time-major kernel.
+    try:
+        n, b = 1024, 2048
+        ctx = FFTContext(n, "float32")
+        xre = jnp.asarray(rng.uniform(-1, 1, (b, n)).astype(np.float32))
+        xim = jnp.asarray(rng.uniform(-1, 1, (b, n)).astype(np.float32))
+
+        def dstep(c):
+            a, bb = c
+            a, bb = ctx.forward_planes(a, bb)
+            return ctx.inverse_planes(a, bb)
+        t_d = sorted(time_chain(dstep, (xre, xim)) for _ in range(3))[1]
+        t_d = max(t_d, _roundtrip_floor(xre.size))
+        rel = t_d / raw_times[n]
+        record(f"watfft/dispatch/f32/n{n}", t_d, b)
+        print(f"  [dispatch] n={n} b={b}: {2*b/t_d:,.0f}/s "
+              f"({rel:.2f}x raw kernel time)", file=sys.stderr)
+    except Exception as e:
+        print(f"  dispatch bench failed: {str(e)[:120]}", file=sys.stderr)
+
+    # ---------------- small-N MXU alternative -----------------------------
+    try:
+        from watfft_tpu.ops.mxu_dft import dft_matmul_nb
+        n, b = 64, TOTAL_ELEMS // 64
+        xre = jnp.asarray(rng.uniform(-1, 1, (n, b)).astype(np.float32))
+        xim = jnp.asarray(rng.uniform(-1, 1, (n, b)).astype(np.float32))
+
+        def mstep(c):
+            a, bb = c
+            a, bb = dft_matmul_nb(a, bb, inverse=False)
+            return dft_matmul_nb(a, bb, inverse=True)
+        t_m = sorted(time_chain(mstep, (xre, xim)) for _ in range(3))[1]
+        record(f"watfft/mxu-dft/f32/n{n}", t_m, b)
+        print(f"  [mxu-dft] n={n}: {2*b/t_m:,.0f}/s "
+              f"(vs stockham {2*b/raw_times[n]:,.0f}/s)", file=sys.stderr)
+    except Exception as e:
+        print(f"  mxu-dft bench failed: {str(e)[:120]}", file=sys.stderr)
+
+    # ---------------- real path (rfft/irfft roundtrip) --------------------
+    from watfft_tpu.ops.pallas_rfft import rfft_nb, irfft_nb
+    for n in (256, 1024, 4096):
+        try:
             b = max(128, TOTAL_ELEMS // n)
             xr_t = jnp.asarray(rng.uniform(-1, 1, (n, b)).astype(np.float32))
 
             def rstep(c):
                 re, im = rfft_nb(c)
                 return irfft_nb(re, im)
-            t_r = time_chain(rstep, xr_t)
+            t_r = sorted(time_chain(rstep, xr_t) for _ in range(3))[1]
+            # real roundtrip moves ~half the complex traffic (one real plane
+            # in, ~two half-length spectrum planes out, per direction)
+            t_r = max(t_r, _roundtrip_floor(xr_t.size) / 2)
 
             xr = jnp.asarray(rng.uniform(-1, 1, (b, n)).astype(np.float32))
 
             def jrstep(c):
                 return jnp.fft.irfft(jnp.fft.rfft(c), n=n)
-            t_jr = time_chain(jrstep, xr)
+            t_jr = min(time_chain(jrstep, xr) for _ in range(2))
+            record(f"watfft/rfft-pallas/f32/n{n}", t_r, b)
+            record(f"jnp.fft/real/f32/n{n}", t_jr, b)
             print(f"  [real] n={n:<6} ours={2*b/t_r:,.0f}/s "
                   f"jnp={2*b/t_jr:,.0f}/s x{t_jr/t_r:.2f}", file=sys.stderr)
-            results.append(BenchResult(name=f"watfft/rfft-pallas/f32/n{n}",
-                                       ops_per_sec=2 * b / t_r, cv=0.0,
-                                       batch=b, items_per_call=2 * b, samples=[]))
-            results.append(BenchResult(name=f"jnp.fft/real/f32/n{n}",
-                                       ops_per_sec=2 * b / t_jr, cv=0.0,
-                                       batch=b, items_per_call=2 * b, samples=[]))
+        except Exception as e:
+            print(f"  real n={n} bench failed: {str(e)[:120]}", file=sys.stderr)
 
-    if full:
-        # BASELINE config 4: STFT-style workload — 4096 independent N=1024
-        # real transforms packed along the lane axis.
-        from watfft_tpu.ops.pallas_rfft import rfft_nb
+    # ---------------- fully-fused real variant (alternate surface) --------
+    try:
+        from watfft_tpu.ops.pallas_rfft import rfft_nb_fused, irfft_nb_fused
+        n, b = 1024, TOTAL_ELEMS // 1024
+        xr_t = jnp.asarray(rng.uniform(-1, 1, (n, b)).astype(np.float32))
+
+        def rfstep(c):
+            re, im = rfft_nb_fused(c)
+            return irfft_nb_fused(re, im)
+        t_rf = sorted(time_chain(rfstep, xr_t) for _ in range(3))[1]
+        record(f"watfft/rfft-pallas-fused/f32/n{n}", t_rf, b)
+        print(f"  [real-fused] n={n}: {2*b/t_rf:,.0f}/s", file=sys.stderr)
+    except Exception as e:
+        print(f"  real-fused bench failed: {str(e)[:120]}", file=sys.stderr)
+
+    # ---------------- f64 tier (double-f32 kernels) -----------------------
+    try:
+        from watfft_tpu.ops.doublefloat import (df_fft_nb, df_rfft_nb,
+                                                df_irfft_nb, split_f64)
+        n, b = 1024, 256
+        x = rng.uniform(-1, 1, (n, b))
+        y = rng.uniform(-1, 1, (n, b))
+        rh, rl = split_f64(x)
+        ih, il = split_f64(y)
+        args = tuple(jnp.asarray(a) for a in (rh, rl, ih, il))
+
+        def dfstep(c):
+            a, bb, cc, d = df_fft_nb(*c, inverse=False)
+            return df_fft_nb(a, bb, cc, d, inverse=True)
+        t_df = sorted(time_chain(dfstep, args) for _ in range(3))[1]
+        record(f"watfft/doublefloat-pallas/f64/n{n}", t_df, b)
+        print(f"  [df-complex] n={n} b={b}: {2*b/t_df:,.0f}/s", file=sys.stderr)
+
+        xh, xl = split_f64(rng.uniform(-1, 1, (n, b)))
+        rargs = (jnp.asarray(xh), jnp.asarray(xl))
+
+        def dfrstep(c):
+            orh, orl, oih, oil = df_rfft_nb(c[0], c[1])
+            oh, ol = df_irfft_nb(orh, orl, oih, oil)
+            return oh, ol
+        t_dfr = sorted(time_chain(dfrstep, rargs) for _ in range(3))[1]
+        record(f"watfft/doublefloat-rfft/f64/n{n}", t_dfr, b)
+        print(f"  [df-real] n={n} b={b}: {2*b/t_dfr:,.0f}/s", file=sys.stderr)
+    except Exception as e:
+        print(f"  doublefloat bench failed: {str(e)[:120]}", file=sys.stderr)
+
+    # ---------------- four-step XLA path in its dispatch domain -----------
+    try:
+        n, b = 8192, 256
+        ctx = FFTContext(n, "float32")
+        xre = jnp.asarray(rng.uniform(-1, 1, (b, n)).astype(np.float32))
+        xim = jnp.asarray(rng.uniform(-1, 1, (b, n)).astype(np.float32))
+
+        def fstep(c):
+            a, bb = c
+            a, bb = ctx.forward_planes_fourstep(a, bb)
+            return ctx.inverse_planes_fourstep(a, bb)
+        t_f = sorted(time_chain(fstep, (xre, xim)) for _ in range(3))[1]
+
+        def jstep8(c):
+            a, bb = c
+            z = jnp.fft.ifft(jnp.fft.fft(a + 1j * bb))
+            return z.real, z.imag
+        t_j8 = min(time_chain(jstep8, (xre, xim)) for _ in range(2))
+        record(f"watfft/fourstep-mxu/f32/n{n}", t_f, b)
+        record(f"jnp.fft/f32/n{n}", t_j8, b)
+        print(f"  [fourstep] n={n} b={b}: ours={2*b/t_f:,.0f}/s "
+              f"jnp={2*b/t_j8:,.0f}/s x{t_j8/t_f:.2f}", file=sys.stderr)
+    except Exception as e:
+        print(f"  fourstep bench failed: {str(e)[:120]}", file=sys.stderr)
+
+    # ---------------- STFT workload (BASELINE config 4) -------------------
+    try:
         n, b = 1024, 4096
         xr_t = jnp.asarray(rng.uniform(-1, 1, (n, b)).astype(np.float32))
 
@@ -140,25 +280,24 @@ def main(full: bool = False) -> None:
             re, im = rfft_nb(c)
             # keep carry shape [n, b]: drop the extra bin row
             return jnp.concatenate([re[:-1], im[:-1]], axis=0)[:n]
-        t_s = time_chain(sstep, xr_t)
+        t_s = sorted(time_chain(sstep, xr_t) for _ in range(3))[1]
         xr = jnp.asarray(rng.uniform(-1, 1, (b, n)).astype(np.float32))
 
         def jstft(c):
             y = jnp.fft.rfft(c)
             return jnp.concatenate([y.real[:, :-1], y.imag[:, :-1]], axis=1)[:, :n]
-        t_js = time_chain(jstft, xr)
+        t_js = min(time_chain(jstft, xr) for _ in range(2))
         print(f"  [stft-4096x1024] ours={b/t_s:,.0f}/s jnp={b/t_js:,.0f}/s "
               f"x{t_js/t_s:.2f}", file=sys.stderr)
-        results.append(BenchResult(name="watfft/stft-workload/f32/n1024",
-                                   ops_per_sec=b / t_s, cv=0.0, batch=b,
-                                   items_per_call=b, samples=[]))
-        results.append(BenchResult(name="jnp.fft/stft-workload/f32/n1024",
-                                   ops_per_sec=b / t_js, cv=0.0, batch=b,
-                                   items_per_call=b, samples=[]))
+        record("watfft/stft-workload/f32/n1024", t_s, b, items=1)
+        record("jnp.fft/stft-workload/f32/n1024", t_js, b, items=1)
+    except Exception as e:
+        print(f"  stft bench failed: {str(e)[:120]}", file=sys.stderr)
 
-        # BASELINE config 5: large-N four-step
-        from watfft_tpu.ops.large import fft_large
-        for log in (16, 18, 20):
+    # ---------------- large-N four-step (BASELINE config 5) ---------------
+    from watfft_tpu.ops.large import fft_large
+    for log in ((16, 18, 20) if full else (20,)):
+        try:
             nn = 1 << log
             xs = jnp.asarray(rng.uniform(-1, 1, nn).astype(np.float32))
             ys = jnp.asarray(rng.uniform(-1, 1, nn).astype(np.float32))
@@ -178,12 +317,11 @@ def main(full: bool = False) -> None:
                        for _ in range(2))
             print(f"  [large] 2^{log} ours={t_l*1e6:,.0f}us "
                   f"jnp={t_jl*1e6:,.0f}us x{t_jl/t_l:.2f}", file=sys.stderr)
-            results.append(BenchResult(name=f"watfft/fft-large/f32/n{nn}",
-                                       ops_per_sec=2 / t_l, cv=0.0, batch=1,
-                                       items_per_call=2, samples=[]))
-            results.append(BenchResult(name=f"jnp.fft/fft-large/f32/n{nn}",
-                                       ops_per_sec=2 / t_jl, cv=0.0, batch=1,
-                                       items_per_call=2, samples=[]))
+            record(f"watfft/fft-large/f32/n{nn}", t_l, 1)
+            record(f"jnp.fft/fft-large/f32/n{nn}", t_jl, 1)
+        except Exception as e:
+            print(f"  large 2^{log} bench failed: {str(e)[:120]}",
+                  file=sys.stderr)
 
     try:
         path = save_results("headline", results)

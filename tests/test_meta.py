@@ -94,6 +94,33 @@ def test_bench_covers_flagship_kernels():
         assert needle in src, f"bench.py no longer exercises {needle}"
 
 
+def test_bench_enumerates_registry():
+    """bench.py's DEFAULT mode must bench every non-baseline registry
+    surface — no kernel can silently escape benchmarking. New registry
+    entries must be added to bench.py's BENCHED_SURFACES (with an actual
+    timing section) before this passes."""
+    import importlib.util
+    import os
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(root, "bench.py"))
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    registered = {e.name for e in registry.entries(include_baselines=False)}
+    missing = registered - bench.BENCHED_SURFACES
+    assert not missing, f"registry surfaces missing from bench.py: {missing}"
+    stale = bench.BENCHED_SURFACES - registered
+    assert not stale, f"bench.py names surfaces not in the registry: {stale}"
+    # the declared set must be backed by real timing sections
+    with open(os.path.join(root, "bench.py")) as f:
+        src = f.read()
+    for name in bench.BENCHED_SURFACES:
+        # each surface appears in a record() name (statically or via the
+        # ours_name variable whose default is the literal)
+        assert src.count(f'"{name}"') + src.count(f"watfft/{name}/") >= 2, (
+            f"BENCHED_SURFACES claims {name} but bench.py never records it")
+
+
 def test_bench_sizes_are_tested_sizes():
     """The benchmark sweep must stay inside the correctness-tested range."""
     import os

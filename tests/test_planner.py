@@ -1,0 +1,137 @@
+"""Planner dispatch tests: the public API must run the fastest kernel.
+
+Reference analog: the in-module auto dispatch (fft_combined.wat:727-732) and
+the codelet table (fft_real_f32_dual.wat:2433-2459) — wat-fft's public entry
+points always run the best implementation for the size. Here the planner
+(watfft_tpu/planner.py) picks Pallas vs four-step per (n, dtype, backend);
+these tests pin the decision table and drive the dispatched branches in
+interpret mode on CPU (WATFFT_INTERPRET path), including the batch-major
+transpose wrappers and the custom VJP that keeps the Pallas path
+differentiable.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from watfft_tpu import api, config, planner
+
+
+@pytest.fixture
+def interpret_mode(monkeypatch):
+    """Force the Pallas branch on the CPU backend (interpret mode)."""
+    monkeypatch.setattr(config, "FORCE_INTERPRET", True)
+    yield
+
+
+def test_decision_table_cpu():
+    # On a plain CPU backend (no interpret override) everything is four-step.
+    assert planner.c2c_kernel(1024, "float32") == "fourstep"
+    assert planner.r2c_kernel(1024, "float32") == "fourstep"
+
+
+def test_decision_table_pallas(interpret_mode):
+    assert planner.c2c_kernel(16, "float32") == "stockham"
+    assert planner.c2c_kernel(4096, "float32") == "stockham"
+    assert planner.c2c_kernel(8192, "float32") == "fourstep"   # beyond kernel range
+    assert planner.c2c_kernel(1024, "float64") == "fourstep"   # f64 tier is separate
+    assert planner.r2c_kernel(1024, "float32") == "rfft-pallas"
+    assert planner.r2c_kernel(4, "float32") == "fourstep"      # below kernel range
+    assert planner.r2c_kernel(1024, "float64") == "fourstep"
+
+
+@pytest.mark.parametrize("n,batch", [(64, 5), (256, 128), (1024, 1)])
+def test_dispatched_complex_forward_inverse(interpret_mode, n, batch):
+    """forward_planes routes through the Pallas kernel (batch-major wrapper:
+    transpose + lane pad) and still matches numpy, any batch size."""
+    rng = np.random.default_rng(n)
+    shape = (batch, n) if batch > 1 else (n,)
+    xre = rng.uniform(-1, 1, shape).astype(np.float32)
+    xim = rng.uniform(-1, 1, shape).astype(np.float32)
+    ctx = api.FFTContext(n, "float32")
+    re, im = ctx.forward_planes(xre, xim)
+    got = np.asarray(re) + 1j * np.asarray(im)
+    ref = np.fft.fft(xre.astype(np.float64) + 1j * xim.astype(np.float64))
+    assert np.max(np.abs(got - ref)) / np.max(np.abs(ref)) < 5e-6
+    rre, rim = ctx.inverse_planes(re, im)
+    assert np.max(np.abs(np.asarray(rre) - xre)) < 1e-5
+
+
+@pytest.mark.parametrize("n,batch", [(64, 3), (512, 128)])
+def test_dispatched_real_roundtrip(interpret_mode, n, batch):
+    rng = np.random.default_rng(n)
+    x = rng.uniform(-1, 1, (batch, n)).astype(np.float32)
+    ctx = api.RFFTContext(n, "float32")
+    re, im = ctx.forward_planes(x)
+    got = np.asarray(re) + 1j * np.asarray(im)
+    ref = np.fft.rfft(x.astype(np.float64))
+    assert np.max(np.abs(got - ref)) / np.max(np.abs(ref)) < 5e-6
+    back = np.asarray(ctx.inverse_planes(re, im))
+    assert np.max(np.abs(back - x)) < 1e-5
+
+
+def test_fourstep_surface_still_explicit(interpret_mode):
+    """The explicit four-step methods bypass dispatch (registry pins them)."""
+    rng = np.random.default_rng(7)
+    n = 64
+    xre = rng.uniform(-1, 1, (4, n)).astype(np.float32)
+    xim = rng.uniform(-1, 1, (4, n)).astype(np.float32)
+    ctx = api.FFTContext(n, "float32")
+    re, im = ctx.forward_planes_fourstep(xre, xim)
+    ref = np.fft.fft(xre.astype(np.float64) + 1j * xim.astype(np.float64))
+    got = np.asarray(re) + 1j * np.asarray(im)
+    assert np.max(np.abs(got - ref)) / np.max(np.abs(ref)) < 5e-6
+
+
+def test_stockham_custom_vjp(interpret_mode):
+    """grad through the Pallas kernel equals grad through the XLA four-step
+    (the custom VJP is the conjugate transform)."""
+    from watfft_tpu.ops.pallas_stockham import stockham_fft_nb
+    from watfft_tpu.ops.fourstep import fft_planes
+
+    rng = np.random.default_rng(3)
+    n, b = 32, 128
+    xre = jnp.asarray(rng.uniform(-1, 1, (n, b)).astype(np.float32))
+    xim = jnp.asarray(rng.uniform(-1, 1, (n, b)).astype(np.float32))
+
+    def loss_pallas(a, bb):
+        re, im = stockham_fft_nb(a, bb)
+        return jnp.sum(re * re + 2.0 * im * im)
+
+    def loss_xla(a, bb):
+        re, im = fft_planes(a.T, bb.T)
+        return jnp.sum(re * re + 2.0 * im * im)
+
+    # grads are wrt the SAME time-major arrays in both losses (the .T in
+    # loss_xla is inside the function), so no transpose on comparison
+    gp = jax.grad(loss_pallas, argnums=(0, 1))(xre, xim)
+    gx = jax.grad(loss_xla, argnums=(0, 1))(xre, xim)
+    for p, x in zip(gp, gx):
+        np.testing.assert_allclose(np.asarray(p), np.asarray(x),
+                                   rtol=2e-4, atol=2e-3)
+
+    # inverse direction too
+    def loss_pallas_inv(a, bb):
+        re, im = stockham_fft_nb(a, bb, inverse=True)
+        return jnp.sum(re * im)
+
+    def loss_xla_inv(a, bb):
+        re, im = fft_planes(a.T, bb.T, inverse=True)
+        return jnp.sum(re * im)
+
+    gp = jax.grad(loss_pallas_inv, argnums=(0, 1))(xre, xim)
+    gx = jax.grad(loss_xla_inv, argnums=(0, 1))(xre, xim)
+    for p, x in zip(gp, gx):
+        np.testing.assert_allclose(np.asarray(p), np.asarray(x),
+                                   rtol=2e-4, atol=2e-3)
+
+
+def test_one_shot_fft_dispatches(interpret_mode):
+    """api.fft (the user-facing one-shot) runs the dispatched path."""
+    rng = np.random.default_rng(11)
+    x = (rng.uniform(-1, 1, (4, 128)) + 1j * rng.uniform(-1, 1, (4, 128)))
+    got = np.asarray(api.fft(x.astype(np.complex64)))
+    ref = np.fft.fft(x)
+    assert np.max(np.abs(got - ref)) / np.max(np.abs(ref)) < 5e-6

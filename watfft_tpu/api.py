@@ -30,6 +30,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from . import planner
 from .plan import build_tree, is_power_of_two
 from .ops.fourstep import apply_tables, fft_tables
 from .ops.rfft import rfft_planes, irfft_planes, rfft_post_twiddles
@@ -113,11 +114,47 @@ class FFTContext(_BaseContext):
             partial(apply_tables, shape_info=self._shape_info))
 
     # -- split-plane (TPU-native) entry points --------------------------------
+    # Planner-dispatched (reference analog: the public entry point always
+    # runs the best kernel for the size, fft_combined.wat:727-732): on a TPU
+    # backend, f32 n<=4096 routes through the Pallas Stockham kernel behind
+    # XLA transposes (Exp 18 — chained calls cancel interior transposes);
+    # everything else takes the four-step MXU path.
     def forward_planes(self, xre, xim):
-        return self._planes_fn(self._prep(xre), self._prep(xim), self._fwd_tables)
+        if planner.c2c_kernel(self.size, self.dtype) == "stockham":
+            return self._bm_stockham(xre, xim, inverse=False)
+        return self.forward_planes_fourstep(xre, xim)
 
     def inverse_planes(self, xre, xim):
+        if planner.c2c_kernel(self.size, self.dtype) == "stockham":
+            return self._bm_stockham(xre, xim, inverse=True)
+        return self.inverse_planes_fourstep(xre, xim)
+
+    # -- explicit four-step (XLA) surface: always available, differentiable,
+    # any backend — and directly addressable by the registry/bench ------------
+    def forward_planes_fourstep(self, xre, xim):
+        return self._planes_fn(self._prep(xre), self._prep(xim), self._fwd_tables)
+
+    def inverse_planes_fourstep(self, xre, xim):
         return self._planes_fn(self._prep(xre), self._prep(xim), self._inv_tables)
+
+    def _bm_stockham(self, xre, xim, inverse: bool):
+        """Batch-major [..., n] planes -> Pallas time-major kernel behind
+        XLA transposes + lane padding."""
+        from .ops.pallas_stockham import stockham_fft_nb
+        xre, xim = self._prep(xre), self._prep(xim)
+        lead = xre.shape[:-1]
+        a = xre.reshape(-1, self.size).T
+        b = xim.reshape(-1, self.size).T
+        bsz = a.shape[-1]
+        pad = (-bsz) % 128
+        if pad:
+            a = jnp.pad(a, ((0, 0), (0, pad)))
+            b = jnp.pad(b, ((0, 0), (0, pad)))
+        ore, oim = stockham_fft_nb(a, b, inverse=inverse)
+        if pad:
+            ore, oim = ore[:, :bsz], oim[:, :bsz]
+        return (ore.T.reshape(*lead, self.size),
+                oim.T.reshape(*lead, self.size))
 
     # -- time-major [n, batch] entry points (the Pallas hot paths) ------------
     # Batch rides the 128-lane axis; this is the layout the flagship Stockham
@@ -151,15 +188,15 @@ class FFTContext(_BaseContext):
     def inverse_planes_nb(self, xre, xim):
         return self._nb(xre, xim, inverse=True)
 
-    # -- complex-dtype convenience entry points -------------------------------
+    # -- complex-dtype convenience entry points (planner-dispatched) ----------
     def forward(self, x):
         x = self._prep_complex(x)
-        re, im = self._planes_fn(x.real, x.imag, self._fwd_tables)
+        re, im = self.forward_planes(x.real, x.imag)
         return (re + 1j * im).astype(self._cdtype)
 
     def inverse(self, x):
         x = self._prep_complex(x)
-        re, im = self._planes_fn(x.real, x.imag, self._inv_tables)
+        re, im = self.inverse_planes(x.real, x.imag)
         return (re + 1j * im).astype(self._cdtype)
 
 
@@ -209,13 +246,57 @@ class RFFTContext(_BaseContext):
                              jnp.asarray(ih), jnp.asarray(il))
         return merge_f64(np.asarray(oh), np.asarray(ol))
 
+    # -- batch-major [..., n] entry points (planner-dispatched) ---------------
     def forward_planes(self, x):
+        if planner.r2c_kernel(self.size, self.dtype) == "rfft-pallas":
+            return self._bm_rfft(x, inverse=False)
+        return self.forward_planes_fourstep(x)
+
+    def inverse_planes(self, xre, xim):
+        if planner.r2c_kernel(self.size, self.dtype) == "rfft-pallas":
+            return self._bm_rfft((xre, xim), inverse=True)
+        return self.inverse_planes_fourstep(xre, xim)
+
+    def forward_planes_fourstep(self, x):
         return self._fwd_fn(self._prep(x), self._fwd_tables,
                             wre=self._fwd_w[0], wim=self._fwd_w[1])
 
-    def inverse_planes(self, xre, xim):
+    def inverse_planes_fourstep(self, xre, xim):
         return self._inv_fn(self._prep(xre), self._prep(xim), self._inv_tables,
                             wre=self._inv_w[0], wim=self._inv_w[1])
+
+    def _bm_rfft(self, x, inverse: bool):
+        """Batch-major wrapper over the time-major Pallas real path (XLA
+        transposes + lane padding; Exp 18)."""
+        from .ops.pallas_rfft import rfft_nb, irfft_nb
+        if inverse:
+            xre, xim = x
+            xre, xim = self._prep(xre), self._prep(xim)
+            lead = xre.shape[:-1]
+            m1 = xre.shape[-1]
+            a = xre.reshape(-1, m1).T
+            b = xim.reshape(-1, m1).T
+            bsz = a.shape[-1]
+            pad = (-bsz) % 128
+            if pad:
+                a = jnp.pad(a, ((0, 0), (0, pad)))
+                b = jnp.pad(b, ((0, 0), (0, pad)))
+            out = irfft_nb(a, b)
+            if pad:
+                out = out[:, :bsz]
+            return out.T.reshape(*lead, self.size)
+        x = self._prep(x)
+        lead = x.shape[:-1]
+        a = x.reshape(-1, self.size).T
+        bsz = a.shape[-1]
+        pad = (-bsz) % 128
+        if pad:
+            a = jnp.pad(a, ((0, 0), (0, pad)))
+        ore, oim = rfft_nb(a)
+        if pad:
+            ore, oim = ore[:, :bsz], oim[:, :bsz]
+        m1 = self.size // 2 + 1
+        return ore.T.reshape(*lead, m1), oim.T.reshape(*lead, m1)
 
     def forward(self, x):
         x = self._prep(np.asarray(x, self._np_dtype) if not isinstance(x, jax.Array) else x).astype(self._np_dtype.name)

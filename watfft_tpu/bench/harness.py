@@ -28,7 +28,8 @@ TARGET_SAMPLE_MS = 150.0
 NUM_SAMPLES = 10
 
 
-def time_chain(step, args, r1: int = 32, r2: int = 160, reps: int = 3) -> float:
+def time_chain(step, args, r1: int = 32, r2: int = 160, reps: int = 3,
+               target_s: float = 0.06) -> float:
     """Seconds per `step` iteration, measured as the slope between two
     lax.fori_loop chain lengths.
 
@@ -38,6 +39,14 @@ def time_chain(step, args, r1: int = 32, r2: int = 160, reps: int = 3) -> float:
     cannot be constant-folded the way an unrolled op chain can, and (b) the
     slope (t(r2)-t(r1))/(r2-r1) cancels every fixed cost. Sync is a [1,1]
     readback of the first output leaf.
+
+    Adaptive calibration (round-2 fix for small-N jitter): after a pilot
+    slope estimate, r2 is raised until the chain's *device work*
+    (slope * r2) is at least `target_s`, so the measured difference
+    dominates the multi-ms round-trip jitter instead of drowning in it.
+    With the default r2=160 a 40 us/iter kernel yields two ~30 ms
+    measurements differing by ~5 ms — inside the jitter band; calibrated
+    chains make the difference 10x the jitter.
     """
     import functools
     import numpy as np
@@ -53,10 +62,16 @@ def time_chain(step, args, r1: int = 32, r2: int = 160, reps: int = 3) -> float:
         _ = np.asarray(leaf[(slice(0, 1),) * leaf.ndim])  # rank-agnostic sync
         return time.perf_counter() - t0
 
-    # warm both lengths (compile), then interleave measurements and take
-    # the median of each before computing the slope — robust to the
-    # multi-ms jitter of individual tunnel round-trips.
-    timed(r1), timed(r2)
+    # warm both lengths (compile), pilot-estimate the slope, then lengthen
+    # the long chain until its device work dominates the fixed overhead.
+    timed(r1)
+    pilot = (timed(r2) - timed(r1)) / (r2 - r1)
+    if pilot > 0:
+        want = int(target_s / pilot)
+        while r2 < want and r2 < 16384:
+            r2 *= 2
+        timed(r2)  # compile the calibrated length
+
     for attempt in range(2):
         ts1 = sorted(timed(r1) for _ in range(reps + 2))
         ts2 = sorted(timed(r2) for _ in range(reps + 2))

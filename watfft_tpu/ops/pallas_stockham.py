@@ -365,12 +365,7 @@ def _pick_tile(n: int, b: int) -> int:
     return tb
 
 
-def stockham_fft_nb(xre, xim, inverse: bool = False):
-    """Batched FFT on time-major planes [n, batch] (batch on lanes).
-
-    batch must be a multiple of 128 (pad at the caller). Returns planes in
-    the same layout. f32 only — this is the TPU-native hot path.
-    """
+def _stockham_impl(xre, xim, inverse: bool):
     n, b = xre.shape[-2], xre.shape[-1]
     if b % 128 != 0:
         raise ValueError(f"batch (last axis) must be a multiple of 128, got {b}")
@@ -381,3 +376,37 @@ def stockham_fft_nb(xre, xim, inverse: bool = False):
     interpret = config.FORCE_INTERPRET or jax.default_backend() != "tpu"
     return _stockham_call(xre, xim, twre, twim, n, inverse, tile_b,
                           interpret=interpret)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _stockham_diff(xre, xim, inverse):
+    return _stockham_impl(xre, xim, inverse)
+
+
+def _stockham_diff_fwd(xre, xim, inverse):
+    return _stockham_impl(xre, xim, inverse), None
+
+
+def _stockham_diff_bwd(inverse, _, g):
+    # The transform is a linear map whose split-real Jacobian transpose is
+    # the CONJUGATE transform: VJP(fft) = n * ifft, VJP(ifft) = fft / n
+    # (our inverse is normalized). This makes the Pallas path differentiable
+    # — pallas_call has no autodiff rule of its own.
+    gre, gim = g
+    n = gre.shape[-2]
+    ore, oim = _stockham_impl(gre, gim, not inverse)
+    s = jnp.asarray(1.0 / n if inverse else float(n), ore.dtype)
+    return ore * s, oim * s
+
+
+_stockham_diff.defvjp(_stockham_diff_fwd, _stockham_diff_bwd)
+
+
+def stockham_fft_nb(xre, xim, inverse: bool = False):
+    """Batched FFT on time-major planes [n, batch] (batch on lanes).
+
+    batch must be a multiple of 128 (pad at the caller). Returns planes in
+    the same layout. f32 only — this is the TPU-native hot path.
+    Differentiable (custom VJP: the conjugate transform).
+    """
+    return _stockham_diff(xre, xim, bool(inverse))

@@ -28,9 +28,29 @@ try:
 except ImportError:  # pragma: no cover - older jax
     from jax.experimental.shard_map import shard_map
 
+from .. import config
 from ..ops.fourstep import fft_planes
+from ..ops.pallas_stockham import stockham_fft_nb
 
 __all__ = ["fft_batch_sharded", "fft2_sharded", "make_mesh"]
+
+
+def _local_fft(xre, xim, inverse):
+    """FFT along axis -1 of local shards; the Pallas Stockham kernel when
+    the folded batch fills the 128-lane minimum on a TPU backend (same
+    conditional as large_sharded._local_fft), else the portable four-step.
+    Differentiable either way (the kernel has a custom VJP)."""
+    n = xre.shape[-1]
+    lead = 1
+    for s in xre.shape[:-1]:
+        lead *= s
+    if (jax.default_backend() == "tpu" and lead % 128 == 0
+            and n <= config.STOCKHAM_MAX_N):
+        a = xre.reshape(lead, n).T
+        b = xim.reshape(lead, n).T
+        yre, yim = stockham_fft_nb(a, b, inverse=inverse)
+        return yre.T.reshape(xre.shape), yim.T.reshape(xim.shape)
+    return fft_planes(xre, xim, inverse=inverse)
 
 
 def make_mesh(n_devices: int | None = None, axis: str = "x") -> Mesh:
@@ -42,7 +62,7 @@ def fft_batch_sharded(xre, xim, mesh: Mesh, inverse: bool = False, axis: str = "
     """Data-parallel batched FFT: batch axis sharded over the mesh; each
     device runs the single-chip four-step core on its shard (no collectives)."""
     fn = shard_map(
-        partial(fft_planes, inverse=inverse),
+        partial(_local_fft, inverse=inverse),
         mesh=mesh,
         in_specs=(P(axis, None), P(axis, None)),
         out_specs=(P(axis, None), P(axis, None)),
@@ -73,14 +93,14 @@ def fft2_sharded(xre, xim, mesh: Mesh, inverse: bool = False, axis: str = "x"):
 
     def local(xre, xim):  # shapes [..., H/D, W]
         # 1. row FFTs (local, batched over leading dims + local rows)
-        xre, xim = fft_planes(xre, xim, inverse=inverse)
+        xre, xim = _local_fft(xre, xim, inverse)
         # 2. ICI transpose: -> [..., H, W/D]
         xre = _swap_sharded_axis(xre, axis)
         xim = _swap_sharded_axis(xim, axis)
         # 3. column FFTs: bring H to the last axis
         xre = jnp.swapaxes(xre, -1, -2)
         xim = jnp.swapaxes(xim, -1, -2)
-        xre, xim = fft_planes(xre, xim, inverse=inverse)
+        xre, xim = _local_fft(xre, xim, inverse)
         xre = jnp.swapaxes(xre, -1, -2)
         xim = jnp.swapaxes(xim, -1, -2)
         # 4. transpose back to row-sharded canonical layout

@@ -1,0 +1,61 @@
+"""Kernel dispatch — the FFTW-planner-lite.
+
+The reference always runs the best implementation for a size from its public
+entry points (auto radix dispatch fft_combined.wat:727-732; the per-size
+codelet table fft_real_f32_dual.wat:2433-2459, re-validated per hardware
+generation). This module is the TPU analog: a static decision table, derived
+from on-chip measurements (docs/EXPERIMENT_LOG.md Exp 17/18), that the public
+context API consults so `watfft_tpu.fft(x)` always runs the headline kernel.
+
+Decision table (f32, TPU backend):
+
+  layout        n range            kernel
+  ------------  -----------------  ------------------------------------------
+  time-major    2 .. 4096          Pallas mixed-radix Stockham (VPU)
+  batch-major   2 .. 4096          XLA transpose -> Stockham -> transpose
+                                   (Exp 18: chained calls cancel interior
+                                   transposes; 2.7-3.2x vs jnp even with the
+                                   wrapper, vs 0.65-0.78x for the einsum path)
+  any           > 4096             four-step MXU matmul decomposition (XLA)
+
+  real (rfft)   8 .. 8192          partial-fusion Pallas real path
+                otherwise          XLA pack-as-complex + Hermitian post
+
+f64 always takes the four-step XLA path here (CPU device on TPU backends);
+the TPU-native f64 tier is the double-f32 kernel, reachable through the
+time-major `*_planes_nb` entry points — its host-side hi/lo split makes it
+unsuitable for transparent dispatch inside traced code.
+
+Pallas kernels are only dispatched when they can actually run: on a TPU
+backend, or anywhere under WATFFT_INTERPRET=1 (lets CPU CI exercise the
+dispatch branch in interpret mode).
+"""
+
+from __future__ import annotations
+
+import jax
+
+from . import config
+from .plan import is_power_of_two
+
+__all__ = ["pallas_available", "c2c_kernel", "r2c_kernel"]
+
+
+def pallas_available() -> bool:
+    return config.FORCE_INTERPRET or jax.default_backend() == "tpu"
+
+
+def c2c_kernel(n: int, dtype: str) -> str:
+    """'stockham' (Pallas VPU kernel) or 'fourstep' (XLA MXU matmuls)."""
+    if (dtype == "float32" and pallas_available()
+            and is_power_of_two(n) and 2 <= n <= config.STOCKHAM_MAX_N):
+        return "stockham"
+    return "fourstep"
+
+
+def r2c_kernel(n: int, dtype: str) -> str:
+    """'rfft-pallas' (partial-fusion Pallas real path) or 'fourstep'."""
+    if (dtype == "float32" and pallas_available()
+            and is_power_of_two(n) and 8 <= n <= config.RFFT_PALLAS_MAX_N):
+        return "rfft-pallas"
+    return "fourstep"

@@ -54,10 +54,14 @@ _get_c2c = _ctx_cached("c2c")
 _get_r2c = _ctx_cached("r2c")
 
 
-def _mk(kind: str, direction: str, dtype: str):
+def _mk(kind: str, direction: str, dtype: str, dispatched: bool = False):
     """Context-API surface, adapted to split-plane host I/O: complex dtypes
     never cross host<->device (the axon TPU tunnel cannot transfer them, and
-    eager complex ops fail outside jit)."""
+    eager complex ops fail outside jit).
+
+    dispatched=True runs the planner-dispatched public entry points (the
+    flagship surface); dispatched=False pins the explicit four-step XLA
+    path so the registry keeps testing it directly."""
     def make(n: int):
         ctx = (_get_c2c if kind == "c2c" else _get_r2c)(n, dtype)
         rdt = np.float64 if dtype == "float64" else np.float32
@@ -65,16 +69,19 @@ def _mk(kind: str, direction: str, dtype: str):
         def run(x):
             x = np.asarray(x)
             if kind == "c2c":
-                fn = (ctx.forward_planes if direction == "forward"
-                      else ctx.inverse_planes)
+                if direction == "forward":
+                    fn = ctx.forward_planes if dispatched else ctx.forward_planes_fourstep
+                else:
+                    fn = ctx.inverse_planes if dispatched else ctx.inverse_planes_fourstep
                 re, im = fn(np.ascontiguousarray(x.real, dtype=rdt),
                             np.ascontiguousarray(x.imag, dtype=rdt))
                 return np.asarray(re) + 1j * np.asarray(im)
             if direction == "forward":
-                re, im = ctx.forward_planes(
-                    np.ascontiguousarray(x.real, dtype=rdt))
+                fn = ctx.forward_planes if dispatched else ctx.forward_planes_fourstep
+                re, im = fn(np.ascontiguousarray(x.real, dtype=rdt))
                 return np.asarray(re) + 1j * np.asarray(im)
-            return np.asarray(ctx.inverse_planes(
+            fn = ctx.inverse_planes if dispatched else ctx.inverse_planes_fourstep
+            return np.asarray(fn(
                 np.ascontiguousarray(x.real, dtype=rdt),
                 np.ascontiguousarray(x.imag, dtype=rdt)))
         return run
@@ -296,6 +303,30 @@ def _mk_doublefloat_rfft(direction: str):
     return make
 
 
+def _mk_mxu_dft(inverse: bool):
+    """MXU DFT-matmul surface (f32, time-major, n<=128); adapter as above."""
+    import jax.numpy as jnp
+    from .ops.mxu_dft import dft_matmul_nb
+
+    def make(n: int):
+        def run(x):
+            x = np.asarray(x)
+            squeeze = x.ndim == 1
+            x = np.atleast_2d(x).astype(np.complex64)
+            b = x.shape[0]
+            bp = max(128, ((b + 127) // 128) * 128)
+            xre = np.zeros((n, bp), np.float32)
+            xim = np.zeros((n, bp), np.float32)
+            xre[:, :b] = x.real.T
+            xim[:, :b] = x.imag.T
+            yre, yim = dft_matmul_nb(jnp.asarray(xre), jnp.asarray(xim),
+                                     inverse=inverse)
+            out = (np.asarray(yre)[:, :b] + 1j * np.asarray(yim)[:, :b]).T
+            return out[0] if squeeze else out
+        return run
+    return make
+
+
 def _build_registry() -> list[SurfaceEntry]:
     out: list[SurfaceEntry] = []
     for surface, direction in (("complex-forward", "forward"),
@@ -333,6 +364,14 @@ def _build_registry() -> list[SurfaceEntry]:
             name="rfft-pallas-fused", surface=surface, dtype="float32",
             min_size=16, max_size=1024, flagship=False, baseline=False,
             make=_mk_rfft_fused(direction)))
+    for surface, inverse in (("complex-forward", False),
+                             ("complex-inverse", True)):
+        # MXU DFT-matmul small-N path (Exp 17): loses to the VPU Stockham
+        # kernel on chip, kept registered so the alternative cannot rot
+        out.append(SurfaceEntry(
+            name="mxu-dft", surface=surface, dtype="float32",
+            min_size=2, max_size=128, flagship=False, baseline=False,
+            make=_mk_mxu_dft(inverse)))
     for dtype in ("float32", "float64"):
         max_n = 1 << 20
         for surface, kind, direction in (
@@ -342,9 +381,16 @@ def _build_registry() -> list[SurfaceEntry]:
             ("real-inverse", "r2c", "inverse"),
         ):
             min_n = 2 if kind == "c2c" else 4
+            # flagship = the planner-dispatched public entry points (what
+            # watfft_tpu.fft/rfft run); the explicit four-step XLA path
+            # stays registered under its own name
+            out.append(SurfaceEntry(
+                name="dispatch", surface=surface, dtype=dtype,
+                min_size=min_n, max_size=max_n, flagship=True, baseline=False,
+                make=_mk(kind, direction, dtype, dispatched=True)))
             out.append(SurfaceEntry(
                 name="fourstep-mxu", surface=surface, dtype=dtype,
-                min_size=min_n, max_size=max_n, flagship=True, baseline=False,
+                min_size=min_n, max_size=max_n, flagship=False, baseline=False,
                 make=_mk(kind, direction, dtype)))
             out.append(SurfaceEntry(
                 name="jnp-fft", surface=surface, dtype=dtype,
