@@ -51,7 +51,7 @@ BENCHED_SURFACES = {
     "rfft-pallas-fused",  # single-pass fused real point
     "doublefloat-pallas", # f64 tier complex point
     "doublefloat-rfft",   # f64 tier real point
-    "fourstep-mxu",       # XLA path in its dispatch domain (n > 4096)
+    "fourstep-mxu",       # XLA path in its dispatch domain (n > 16384)
 }
 
 
@@ -105,9 +105,10 @@ def main(full: bool = False) -> None:
                 return stockham_fft_nb(a, bb, inverse=True)
             # median on our side: best-of would cherry-pick jitter in OUR
             # favor; the baseline keeps best-of-two so jitter can only
-            # shrink the reported speedup. Small n gets 5 reps (jitter is
-            # largest relative to the ~40us signal there).
-            reps = 5 if n <= 64 else 3
+            # shrink the reported speedup. Small n gets 9 reps (tunnel
+            # jitter is largest relative to the ~40us roofline signal there
+            # — r2's 1.44x at n=64 was a noisy median-of-5, Exp 17/20).
+            reps = 9 if n <= 64 else 3
             t_ours = sorted(time_chain(pstep, (xre_t, xim_t))
                             for _ in range(reps))[reps // 2]
             t_ours = max(t_ours, _roundtrip_floor(xre_t.size))
@@ -132,6 +133,37 @@ def main(full: bool = False) -> None:
               f"jnp={2*b/t_base:,.0f}/s  x{speedups[-1]:.2f}", file=sys.stderr)
 
     geomean = math.exp(sum(map(math.log, speedups)) / len(speedups))
+
+    # ---------------- extended kernel sizes (beyond the BASELINE sweep) ---
+    # Exp 20: the Stockham kernel now runs to n=16384 (the reference split
+    # module's own max, wat-surfaces.mjs:83); not in the geomean so the
+    # headline stays comparable to BASELINE.json's N=16-4096 definition.
+    for n in (8192, 16384):
+        try:
+            b = max(128, TOTAL_ELEMS // n)
+            xre_t = jnp.asarray(rng.uniform(-1, 1, (n, b)).astype(np.float32))
+            xim_t = jnp.asarray(rng.uniform(-1, 1, (n, b)).astype(np.float32))
+
+            def pstep(c):
+                a, bb = c
+                a, bb = stockham_fft_nb(a, bb, inverse=False)
+                return stockham_fft_nb(a, bb, inverse=True)
+            t_x = sorted(time_chain(pstep, (xre_t, xim_t)) for _ in range(3))[1]
+            t_x = max(t_x, _roundtrip_floor(xre_t.size))
+            xre = jnp.asarray(rng.uniform(-1, 1, (b, n)).astype(np.float32))
+            xim = jnp.asarray(rng.uniform(-1, 1, (b, n)).astype(np.float32))
+
+            def jstep2(c):
+                a, bb = c
+                z = jnp.fft.ifft(jnp.fft.fft(a + 1j * bb))
+                return z.real, z.imag
+            t_jx = min(time_chain(jstep2, (xre, xim)) for _ in range(2))
+            record(f"watfft/stockham-pallas/f32/n{n}", t_x, b)
+            record(f"jnp.fft/f32/n{n}", t_jx, b)
+            print(f"  [ext] n={n:<6} ours={2*b/t_x:,.0f}/s jnp={2*b/t_jx:,.0f}/s "
+                  f"x{t_jx/t_x:.2f}", file=sys.stderr)
+        except Exception as e:
+            print(f"  ext n={n} bench failed: {str(e)[:120]}", file=sys.stderr)
 
     # ---------------- public API dispatch point (planner) -----------------
     # VERDICT r1 #3 evidence: the public context API (batch-major planes)
@@ -247,8 +279,9 @@ def main(full: bool = False) -> None:
         print(f"  doublefloat bench failed: {str(e)[:120]}", file=sys.stderr)
 
     # ---------------- four-step XLA path in its dispatch domain -----------
+    # the planner sends n > STOCKHAM_MAX_N (16384) here, so bench it there
     try:
-        n, b = 8192, 256
+        n, b = 32768, 64
         ctx = FFTContext(n, "float32")
         xre = jnp.asarray(rng.uniform(-1, 1, (b, n)).astype(np.float32))
         xim = jnp.asarray(rng.uniform(-1, 1, (b, n)).astype(np.float32))

@@ -50,6 +50,55 @@ def test_mismatched_size_raises():
         np.asarray(ctx.forward(np.zeros(32, np.complex64)))
 
 
+@pytest.mark.parametrize("shape", [(64,), (12, 64), (64, 12), (100, 100)])
+def test_fft2_invalid_shapes_raise_typed(shape):
+    """A bad shape must produce a typed ValueError at the API, never a raw
+    Mosaic/kernel error (round-1 verdict weak #7)."""
+    from watfft_tpu.ops.fft2 import validate_fft2_shape
+    with pytest.raises(ValueError):
+        validate_fft2_shape(shape)
+    if len(shape) >= 2:
+        with pytest.raises(ValueError):
+            np.asarray(wt.fft2(np.zeros(shape, np.complex64)))
+
+
+def test_fft2_small_unaligned_pow2_works():
+    """[64, 64] (lane dim NOT a multiple of 128) must run via the planner's
+    XLA fallback instead of dying inside the kernel."""
+    rng = ref.seeded_rng(11)
+    x = rng.uniform(-1, 1, (64, 64)) + 1j * rng.uniform(-1, 1, (64, 64))
+    got = np.asarray(wt.fft2(x))
+    want = np.fft.fft2(x)
+    np.testing.assert_allclose(got, want, atol=64 * 1e-4)
+    back = np.asarray(wt.ifft2(wt.fft2(x)))
+    np.testing.assert_allclose(back, x, atol=1e-4)
+
+
+def test_fft_large_too_small_raises_typed():
+    from watfft_tpu.ops.large import fft_large
+    import jax.numpy as jnp
+    x = jnp.zeros(4096, jnp.float32)
+    with pytest.raises(ValueError, match="2\\^14"):
+        fft_large(x, x)
+
+
+@pytest.mark.parametrize("kwargs", [
+    {"n_fft": 100}, {"n_fft": 2}, {"n_fft": 1024, "hop": 0},
+    {"n_fft": 1024, "hop": -4},
+])
+def test_stft_invalid_args_raise_typed(kwargs):
+    from watfft_tpu import stft as S
+    x = np.zeros(4096, np.float32)
+    with pytest.raises(ValueError):
+        S.stft(x, **kwargs)
+
+
+def test_stft_short_signal_raises_typed():
+    from watfft_tpu import stft as S
+    with pytest.raises(ValueError, match="shorter"):
+        S.stft(np.zeros(100, np.float32), n_fft=256)
+
+
 def test_one_shot_functional_api():
     rng = ref.seeded_rng(10)
     x = rng.uniform(-1, 1, (2, 128)) + 1j * rng.uniform(-1, 1, (2, 128))

@@ -35,7 +35,8 @@ def test_decision_table_cpu():
 def test_decision_table_pallas(interpret_mode):
     assert planner.c2c_kernel(16, "float32") == "stockham"
     assert planner.c2c_kernel(4096, "float32") == "stockham"
-    assert planner.c2c_kernel(8192, "float32") == "fourstep"   # beyond kernel range
+    assert planner.c2c_kernel(16384, "float32") == "stockham"  # Exp 20 ceiling
+    assert planner.c2c_kernel(32768, "float32") == "fourstep"  # beyond kernel range
     assert planner.c2c_kernel(1024, "float64") == "fourstep"   # f64 tier is separate
     assert planner.r2c_kernel(1024, "float32") == "rfft-pallas"
     assert planner.r2c_kernel(4, "float32") == "fourstep"      # below kernel range

@@ -12,6 +12,11 @@ future hardware generations, not for routine use.
   WATFFT_RFFT_MAX_N      largest n the planner sends to the Pallas real path
   WATFFT_INTERPRET       force Pallas interpret mode (debugging / CPU CI
                          coverage of the dispatch branch)
+  WATFFT_DF_MAX_RADIX    largest stage radix in the double-f32 plan
+                         (default 16 on TPU — Exp 16: 3.3x faster than
+                         radix-4 on chip; 4 elsewhere — the radix-16 df
+                         expression costs ~50s to trace+compile per size on
+                         CPU vs ~15s for radix-4, Exp 18)
 """
 
 from __future__ import annotations
@@ -27,8 +32,23 @@ def _int_env(name: str, default: int) -> int:
 
 
 VMEM_LIMIT_BYTES = _int_env("WATFFT_VMEM_LIMIT_MB", 100) * 1024 * 1024
-USE3D_MAX_N = _int_env("WATFFT_USE3D_MAX_N", 128)
+USE3D_MAX_N = _int_env("WATFFT_USE3D_MAX_N", 256)  # Exp 21: 256@tile1024 69->57us
 DIRECT_MAX = _int_env("WATFFT_DIRECT_MAX", 128)
-STOCKHAM_MAX_N = _int_env("WATFFT_STOCKHAM_MAX_N", 4096)
-RFFT_PALLAS_MAX_N = _int_env("WATFFT_RFFT_MAX_N", 8192)
+# 16384 = largest n whose ~17-plane VMEM live set still compiles at tile 128
+# (Exp 20: 8192 beats jnp 2.31x and the four-step 2.6x; 16384 wins 1.39x)
+STOCKHAM_MAX_N = _int_env("WATFFT_STOCKHAM_MAX_N", 16384)
+RFFT_PALLAS_MAX_N = _int_env("WATFFT_RFFT_MAX_N", 16384)  # m=8192 core, Exp 20
 FORCE_INTERPRET = os.environ.get("WATFFT_INTERPRET", "") not in ("", "0", "false")
+
+
+def df_max_radix() -> int:
+    """Resolved lazily (importing jax at config-import time is too early):
+    radix-16 df stages on a real TPU backend, radix-4 under interpret/CPU.
+    Same stage machinery and accuracy either way (Exp 18: 6.9e-15 both)."""
+    env = os.environ.get("WATFFT_DF_MAX_RADIX")
+    if env:
+        return int(env)
+    import jax
+
+    on_tpu = not FORCE_INTERPRET and jax.default_backend() == "tpu"
+    return 16 if on_tpu else 4

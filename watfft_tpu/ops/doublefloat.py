@@ -109,12 +109,32 @@ def merge_f64(hi, lo) -> np.ndarray:
 # -- plan ---------------------------------------------------------------------
 
 def _df_stage_plan(n: int) -> list[tuple[int, int]]:
-    """Mixed-radix plan, same policy as the f32 kernel (Exp 4/15): radix-16
-    stages + one {2,4,8} remainder (radix-8 leads; 2/4 at position 1).
-    Fewer stages halve the 4-plane permute passes; the butterfly network's
-    non-exact constants become df hi/lo scalar pairs."""
-    from .pallas_stockham import stage_plan as _f32_plan
-    return _f32_plan(n)
+    """Mixed-radix plan. On TPU: the f32 policy (Exp 4/15/16) — radix-16
+    stages + one {2,4,8} remainder (radix-8 leads; 2/4 at position 1); fewer
+    stages halve the 4-plane permute passes (91 -> 28us at n=1024). Under
+    interpret/CPU: radix-4 + remainder-2 — the radix-16 df expression is
+    ~3.3x more expensive to trace+compile (~50s vs ~15s per size at n=4096,
+    Exp 18) with identical accuracy, and registry-driven CPU tests sweep
+    many sizes."""
+    if config.df_max_radix() >= 16:
+        from .pallas_stockham import stage_plan as _f32_plan
+        return _f32_plan(n)
+    m = n.bit_length() - 1
+    radices: list[int] = []
+    while m >= 2:
+        radices.append(4)
+        m -= 2
+    if m:
+        if not radices:
+            radices.append(2)
+        else:
+            radices.insert(1, 2)  # rem-2 at position 1 (f32 policy, Exp 15)
+    stages: list[tuple[int, int]] = []
+    l = 1
+    for r in radices:
+        stages.append((r, l))
+        l *= r
+    return stages
 
 
 def _df_twiddle_pack(n: int, inverse: bool):

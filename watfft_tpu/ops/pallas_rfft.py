@@ -157,7 +157,12 @@ class _Cache:
 
 def rfft_nb(x):
     """Real forward FFT on time-major [n, batch] -> planes [n//2+1, batch].
-    batch must be a multiple of 128; f32 only."""
+    batch must be a multiple of 128; f32 only. Differentiable (custom VJP:
+    the adjoint reuses the inverse kernel — see _rfft_nb_bwd)."""
+    return _rfft_diff(x)
+
+
+def _rfft_impl(x):
     n, b = x.shape[-2], x.shape[-1]
     if b % 128 != 0:
         raise ValueError(f"batch (last axis) must be a multiple of 128, got {b}")
@@ -194,14 +199,17 @@ def rfft_nb(x):
 
 
 # ---------------------------------------------------------------------------
-# Fully-fused single-pass variants (Exp 8): the whole rfft pipeline in ONE
-# pallas_call — deinterleave, m-point stages, and the Hermitian mirror done
-# IN-KERNEL by staging Z to VMEM scratch (with a wrap row so Z[(m-k) mod m]
-# is always one contiguous 8-row window) and walking 8-row output blocks:
-# the mirrored block is an unaligned dynamic slice, reversed by 8 static
-# row-slices. Reference analog: $stage_r4_s1_rfft_fused (Experiment 61,
-# fft_split_native_f32.wat:2220-2716), which fused post-process into the
-# final stage in registers.
+# Fully-fused single-pass variants: the whole rfft pipeline in ONE
+# pallas_call. The Hermitian mirror B[k] = Z[(m-k) mod m] is a sublane
+# reversal Mosaic cannot lower (no rev/strided gather) — so it runs on the
+# MXU instead: B = J @ Z with J the [m, m] exchange-permutation matrix
+# (precision HIGHEST; a 0/1 selection matrix is exact). One systolic-array
+# op replaces the whole mirror pass; the permutes the VPU hates are free
+# FLOPs on the MXU (Exp 19). Reference analog: $stage_r4_s1_rfft_fused
+# (Experiment 61, fft_split_native_f32.wat:2220-2716), which fused the
+# post-process into the final stage in registers; an earlier per-8-row
+# dynamic-slice walk here measured SLOWER than the hybrid (Exp 8) and was
+# replaced by the J-matmul.
 # ---------------------------------------------------------------------------
 
 import functools as _ft
@@ -212,13 +220,28 @@ from .pallas_stockham import run_stages as _run_stages, stage_plan as _stage_pla
 from .pallas_stockham import make_twiddle_pack as _mk_pack, _pick_tile as _pick_tile_c
 
 
-def _rev8(v):
-    return jnp.concatenate([v[7 - j:8 - j] for j in range(8)], axis=0)
+def _mirror_matrix(m: int, rows: int, cols: int) -> np.ndarray:
+    """[rows, cols] f32 0/1 matrix with J[k, (m-k) % cols] = 1 — the mirror
+    permutation as an MXU operand."""
+    j = np.zeros((rows, cols), np.float32)
+    k = np.arange(rows)
+    j[k, (m - k) % cols] = 1.0
+    return j
+
+
+def _mxu_mirror(jm, re, im):
+    dot = functools.partial(
+        jax.lax.dot_general,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return dot(jm, re), dot(jm, im)
 
 
 def _rfft_fused_kernel(n, offsets, stages,
-                       x_ref, twre_ref, twim_ref, wre_ref, wim_ref,
-                       ore_ref, oim_ref, zs_re, zs_im):
+                       x_ref, twre_ref, twim_ref, wre_ref, wim_ref, jm_ref,
+                       ore_ref, oim_ref):
     m = n // 2
     b = x_ref.shape[-1]
     x = x_ref[:]
@@ -229,65 +252,48 @@ def _rfft_fused_kernel(n, offsets, stages,
     zim = xv[:, 1, :]
     zre, zim = _run_stages(zre, zim, m, False, offsets, stages,
                            twre_ref[:], twim_ref[:])
-    zs_re[0:m] = zre
-    zs_im[0:m] = zim
-    zs_re[m:m + 1] = zre[0:1]  # wrap row: Z[m] := Z[0]
-    zs_im[m:m + 1] = zim[0:1]
-
-    def body(i, carry):
-        k0 = i * 8
-        are = zs_re[pl.ds(k0, 8)]
-        aim = zs_im[pl.ds(k0, 8)]
-        mstart = m - k0 - 7
-        bre = _rev8(zs_re[pl.ds(mstart, 8)])
-        bim = _rev8(zs_im[pl.ds(mstart, 8)])
-        ere = 0.5 * (are + bre)
-        eim = 0.5 * (aim - bim)
-        ore = 0.5 * (aim + bim)
-        oim = -0.5 * (are - bre)
-        wr = wre_ref[pl.ds(k0, 8)]
-        wi = wim_ref[pl.ds(k0, 8)]
-        ore_ref[pl.ds(k0, 8), :] = ere + wr * ore - wi * oim
-        oim_ref[pl.ds(k0, 8), :] = eim + wr * oim + wi * ore
-        return carry
-
-    jax.lax.fori_loop(0, m // 8, body, 0)
+    # B[k] = Z[(m-k) mod m] via the MXU (k = 0 row wraps to Z[0], which
+    # makes the DC formula below exact: X[0] = Re(Z0) + Im(Z0) since W[0]=1)
+    bre, bim = _mxu_mirror(jm_ref[:], zre, zim)
+    ere = 0.5 * (zre + bre)
+    eim = 0.5 * (zim - bim)
+    ore = 0.5 * (zim + bim)
+    oim = -0.5 * (zre - bre)
+    wr = wre_ref[0:m]
+    wi = wim_ref[0:m]
+    ore_ref[0:m, :] = ere + wr * ore - wi * oim
+    oim_ref[0:m, :] = eim + wr * oim + wi * ore
     # Nyquist row: X[m] = Re(Z0) - Im(Z0), imag 0
-    ore_ref[m:m + 1, :] = zs_re[0:1] - zs_im[0:1]
+    ore_ref[m:m + 1, :] = zre[0:1] - zim[0:1]
     oim_ref[m:m + 1, :] = jnp.zeros((1, b), x.dtype)
 
 
 def _irfft_fused_kernel(n, offsets, stages,
                         xre_ref, xim_ref, twre_ref, twim_ref,
-                        wre_ref, wim_ref, o_ref, zs_re, zs_im):
+                        wre_ref, wim_ref, jm_ref, o_ref):
     m = n // 2
     b = xre_ref.shape[-1]
-
-    def body(i, carry):
-        k0 = i * 8
-        are = xre_ref[pl.ds(k0, 8)]
-        aim = xim_ref[pl.ds(k0, 8)]
-        mstart = m - k0 - 7
-        bre = _rev8(xre_ref[pl.ds(mstart, 8)])
-        bim = -_rev8(xim_ref[pl.ds(mstart, 8)])
-        ere = 0.5 * (are + bre)
-        eim = 0.5 * (aim + bim)
-        ore = -0.5 * (aim - bim)
-        oim = 0.5 * (are - bre)
-        wr = wre_ref[pl.ds(k0, 8)]
-        wi = wim_ref[pl.ds(k0, 8)]
-        zs_re[pl.ds(k0, 8), :] = ere + wr * ore - wi * oim
-        zs_im[pl.ds(k0, 8), :] = eim + wr * oim + wi * ore
-        return carry
-
-    jax.lax.fori_loop(0, m // 8, body, 0)
-    zre, zim = _run_stages(zs_re[0:m], zs_im[0:m], m, True, offsets, stages,
+    are = xre_ref[0:m]
+    aim = xim_ref[0:m]
+    # B[k] = conj(X[m-k]), k = 0..m-1 (row 0 reads the Nyquist row m):
+    # J is [m, m+1] over the full spectrum planes
+    bre, bim = _mxu_mirror(jm_ref[:], xre_ref[:], xim_ref[:])
+    bim = -bim
+    ere = 0.5 * (are + bre)
+    eim = 0.5 * (aim + bim)
+    ore = -0.5 * (aim - bim)
+    oim = 0.5 * (are - bre)
+    wr = wre_ref[0:m]
+    wi = wim_ref[0:m]
+    zre = ere + wr * ore - wi * oim
+    zim = eim + wr * oim + wi * ore
+    zre, zim = _run_stages(zre, zim, m, True, offsets, stages,
                            twre_ref[:], twim_ref[:])
     o_ref[:] = jnp.stack([zre, zim], axis=1).reshape(n, b)
 
 
 @_ft.partial(jax.jit, static_argnames=("n", "tile_b", "interpret"))
-def _rfft_fused_call(x, twre, twim, wre, wim, n, tile_b, interpret=False):
+def _rfft_fused_call(x, twre, twim, wre, wim, jm, n, tile_b, interpret=False):
     m = n // 2
     b = x.shape[-1]
     stages = tuple(_stage_plan(m))
@@ -301,19 +307,17 @@ def _rfft_fused_call(x, twre, twim, wre, wim, n, tile_b, interpret=False):
     return pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[xblock, col(twre), col(twim), col(wre), col(wim)],
+        in_specs=[xblock, col(twre), col(twim), col(wre), col(wim), col(jm)],
         out_specs=[oblock, oblock],
         out_shape=[out_shape, out_shape],
-        scratch_shapes=[pltpu.VMEM((m + 8, tile_b), x.dtype),
-                        pltpu.VMEM((m + 8, tile_b), x.dtype)],
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=config.VMEM_LIMIT_BYTES),
         interpret=interpret,
-    )(x, twre, twim, wre, wim)
+    )(x, twre, twim, wre, wim, jm)
 
 
 @_ft.partial(jax.jit, static_argnames=("n", "tile_b", "interpret"))
-def _irfft_fused_call(xre, xim, twre, twim, wre, wim, n, tile_b,
+def _irfft_fused_call(xre, xim, twre, twim, wre, wim, jm, n, tile_b,
                       interpret=False):
     m = n // 2
     b = xre.shape[-1]
@@ -328,20 +332,34 @@ def _irfft_fused_call(xre, xim, twre, twim, wre, wim, n, tile_b,
     return pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[xblock, xblock, col(twre), col(twim), col(wre), col(wim)],
+        in_specs=[xblock, xblock, col(twre), col(twim), col(wre), col(wim),
+                  col(jm)],
         out_specs=oblock,
         out_shape=out_shape,
-        scratch_shapes=[pltpu.VMEM((m + 8, tile_b), xre.dtype),
-                        pltpu.VMEM((m + 8, tile_b), xre.dtype)],
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=config.VMEM_LIMIT_BYTES),
         interpret=interpret,
-    )(xre, xim, twre, twim, wre, wim)
+    )(xre, xim, twre, twim, wre, wim, jm)
+
+
+class _JCache:
+    """Host (numpy) mirror-permutation matrices; numpy constants bake under
+    an outer jit (device arrays must never be cached — tracer leak)."""
+
+    _c: dict = {}
+
+    @classmethod
+    def get(cls, m: int, inverse: bool) -> np.ndarray:
+        key = (m, inverse)
+        if key not in cls._c:
+            cols = m + 1 if inverse else m
+            cls._c[key] = _mirror_matrix(m, m, cols)
+        return cls._c[key]
 
 
 def rfft_nb_fused(x):
     """Single-pass fused real forward FFT, [n, batch] -> [n//2+1, batch].
-    Requires n >= 16 (the mirror walk needs m >= 8); f32, batch % 128 == 0."""
+    f32, n >= 16, batch % 128 == 0. The Hermitian mirror rides the MXU."""
     n, b = x.shape[-2], x.shape[-1]
     if n < 16:
         raise ValueError("fused rfft requires n >= 16")
@@ -351,11 +369,12 @@ def rfft_nb_fused(x):
     wre, wim = (jnp.asarray(a) for a in _Cache.get(n, False))
     sre, sim = (jnp.asarray(a) for a in
                 (_mk_pack(m, False)[0], _mk_pack(m, False)[1]))
+    jm = jnp.asarray(_JCache.get(m, False))
     tile_b = _pick_tile_c(n, b)
     if b % tile_b != 0:
         tile_b = 128
     interpret = config.FORCE_INTERPRET or jax.default_backend() != "tpu"
-    return _rfft_fused_call(x, sre, sim, wre, wim, n, tile_b,
+    return _rfft_fused_call(x, sre, sim, wre, wim, jm, n, tile_b,
                             interpret=interpret)
 
 
@@ -371,17 +390,23 @@ def irfft_nb_fused(xre, xim):
     wre, wim = (jnp.asarray(a) for a in _Cache.get(n, True))
     pk = _mk_pack(m, True)
     sre, sim = jnp.asarray(pk[0]), jnp.asarray(pk[1])
+    jm = jnp.asarray(_JCache.get(m, True))
     tile_b = _pick_tile_c(n, b)
     if b % tile_b != 0:
         tile_b = 128
     interpret = config.FORCE_INTERPRET or jax.default_backend() != "tpu"
-    return _irfft_fused_call(xre, xim, sre, sim, wre, wim, n, tile_b,
+    return _irfft_fused_call(xre, xim, sre, sim, wre, wim, jm, n, tile_b,
                              interpret=interpret)
 
 
 def irfft_nb(xre, xim):
     """Inverse real FFT: planes [m+1, batch] -> real [2m, batch] (normalized).
-    batch must be a multiple of 128; f32 only."""
+    batch must be a multiple of 128; f32 only. Differentiable (custom VJP:
+    the adjoint reuses the forward kernel — see _irfft_nb_bwd)."""
+    return _irfft_diff(xre, xim)
+
+
+def _irfft_impl(xre, xim):
     m1, b = xre.shape[-2], xre.shape[-1]
     m = m1 - 1
     n = 2 * m
@@ -408,3 +433,77 @@ def irfft_nb(xre, xim):
     interpret = config.FORCE_INTERPRET or jax.default_backend() != "tpu"
     return _irfft_core_call(zre, zim, jnp.asarray(sre), jnp.asarray(sim), n,
                             tile_b, interpret=interpret)
+
+
+# -- autodiff: custom VJPs reusing the kernels themselves ---------------------
+# The transforms are linear; pallas_call has no autodiff rule, so each gets
+# a custom VJP whose adjoint is derived from the actual composed map
+# (deinterleave -> F_m core -> Hermitian post, with DC/Nyquist imag stored
+# as literal zeros). Writing the post as X[k] = a_k Z[k] + b_k conj(Z[m-k])
+# (a_k = (1 - iW_k)/2, b_k = (1 + iW_k)/2, W_k = e^{-i pi k / m}) and using
+# realrep-transpose identities (c v -> conj(c) vbar; c conj(v) is its own
+# transpose), the adjoints collapse back onto the kernels:
+#
+#   VJP(rfft)(g)  = m * irfft(g')   g' = g with REAL end rows doubled and
+#                                   IMAG end rows zeroed (the primal's imag
+#                                   ends are constants, not functions of x)
+#   VJP(irfft)(y) = (1/m) * rfft(y) with end rows corrected: real ends
+#                                   halved; imag ends = -+ rfft(y).re[m]/2
+#                                   (irfft READS the imag end rows, so their
+#                                   cotangents are nonzero — unlike jnp's)
+#
+# Verified against jacobian-transpose of the XLA-composed map in
+# tests/test_autodiff.py.
+
+
+def _ends_mask(m: int, re0: float, rem: float, core: float = 1.0):
+    s = np.full((m + 1, 1), core, np.float32)
+    s[0] = re0
+    s[m] = rem
+    return jnp.asarray(s)
+
+
+@jax.custom_vjp
+def _rfft_diff(x):
+    return _rfft_impl(x)
+
+
+def _rfft_diff_fwd(x):
+    return _rfft_impl(x), x.shape[-2]
+
+
+def _rfft_diff_bwd(n, g):
+    gre, gim = g
+    m = n // 2
+    gre = gre * _ends_mask(m, 2.0, 2.0)
+    gim = gim * _ends_mask(m, 0.0, 0.0)
+    return (jnp.float32(m) * _irfft_impl(gre, gim),)
+
+
+_rfft_diff.defvjp(_rfft_diff_fwd, _rfft_diff_bwd)
+
+
+@jax.custom_vjp
+def _irfft_diff(xre, xim):
+    return _irfft_impl(xre, xim)
+
+
+def _irfft_diff_fwd(xre, xim):
+    return _irfft_impl(xre, xim), xre.shape[-2] - 1
+
+
+def _irfft_diff_bwd(m, ybar):
+    gre, gim = _rfft_impl(ybar)   # unnormalized F_m-based forward
+    # end-row corrections from the exact adjoint (Z0re = (r0+rm)/2,
+    # Z0im = (r0-rm)/2 recovered from the forward's own DC/Nyquist rows):
+    # Xbar[0] = conj(c_p[0]) Zbar[0] -> (r0/2, -rm/2);
+    # Xbar[m] = c_m[0] conj(Zbar[0]) -> (rm/2, -r0/2).
+    r0 = gre[0:1]
+    rm = gre[m:m + 1]
+    gre = gre * _ends_mask(m, 0.5, 0.5)
+    gim = jnp.concatenate([-0.5 * rm, gim[1:m], -0.5 * r0], axis=0)
+    s = jnp.float32(1.0 / m)
+    return gre * s, gim * s
+
+
+_irfft_diff.defvjp(_irfft_diff_fwd, _irfft_diff_bwd)

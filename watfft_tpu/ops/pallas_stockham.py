@@ -356,6 +356,8 @@ def _pick_tile(n: int, b: int) -> int:
         tb = 1024  # also enables the 3D small-n mode (needs w = tb/8 >= 128)
     elif n <= 128:
         tb = 2048  # 3D mode: 43us vs 77us at n=128 (Exp 10)
+    elif n <= 256:
+        tb = 1024  # 3D mode: 57us vs 69us at n=256 (Exp 21); 512 prefers 2D
     elif n <= 512:
         tb = 256
     else:

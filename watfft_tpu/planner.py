@@ -11,14 +11,16 @@ Decision table (f32, TPU backend):
 
   layout        n range            kernel
   ------------  -----------------  ------------------------------------------
-  time-major    2 .. 4096          Pallas mixed-radix Stockham (VPU)
-  batch-major   2 .. 4096          XLA transpose -> Stockham -> transpose
+  time-major    2 .. 16384         Pallas mixed-radix Stockham (VPU)
+  batch-major   2 .. 16384         XLA transpose -> Stockham -> transpose
                                    (Exp 18: chained calls cancel interior
                                    transposes; 2.7-3.2x vs jnp even with the
                                    wrapper, vs 0.65-0.78x for the einsum path)
-  any           > 4096             four-step MXU matmul decomposition (XLA)
+  any           > 16384            four-step MXU matmul decomposition (XLA)
+                                   (Exp 20: the kernel wins 2.31x at 8192 and
+                                   1.39x at 16384; its VMEM live set caps it)
 
-  real (rfft)   8 .. 8192          partial-fusion Pallas real path
+  real (rfft)   8 .. 16384         partial-fusion Pallas real path
                 otherwise          XLA pack-as-complex + Hermitian post
 
 f64 always takes the four-step XLA path here (CPU device on TPU backends);

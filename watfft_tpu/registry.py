@@ -333,28 +333,28 @@ def _build_registry() -> list[SurfaceEntry]:
                                ("complex-inverse", "inverse")):
         out.append(SurfaceEntry(
             name="stockham-pallas", surface=surface, dtype="float32",
-            min_size=2, max_size=4096, flagship=False, baseline=False,
+            min_size=2, max_size=16384, flagship=False, baseline=False,
             make=_mk_stockham(direction)))
     for surface, direction in (("real-forward", "forward"),
                                ("real-inverse", "inverse")):
         out.append(SurfaceEntry(
             name="rfft-pallas", surface=surface, dtype="float32",
-            min_size=8, max_size=8192, flagship=False, baseline=False,
+            min_size=8, max_size=16384, flagship=False, baseline=False,
             make=_mk_rfft_pallas(direction)))
     for surface, inverse in (("complex-forward", False),
                              ("complex-inverse", True)):
-        # max_size 128 bounds CPU-interpret test time (the radix-16 df
-        # expression is expensive to trace); the kernel runs any power of
-        # two — larger sizes are covered by tests/test_doublefloat.py
+        # full benched range: CPU sweeps stay tractable because the df plan
+        # drops to radix-4 off-TPU (config.df_max_radix, Exp 18); 4096 caps
+        # the 4-plane VMEM live set at tile 128 (~71 MB < the 100 MB limit)
         out.append(SurfaceEntry(
             name="doublefloat-pallas", surface=surface, dtype="float64",
-            min_size=2, max_size=128, flagship=False, baseline=False,
+            min_size=2, max_size=4096, flagship=False, baseline=False,
             make=_mk_doublefloat(inverse)))
     for surface, direction in (("real-forward", "forward"),
                                ("real-inverse", "inverse")):
         out.append(SurfaceEntry(
             name="doublefloat-rfft", surface=surface, dtype="float64",
-            min_size=8, max_size=128, flagship=False, baseline=False,
+            min_size=8, max_size=8192, flagship=False, baseline=False,
             make=_mk_doublefloat_rfft(direction)))
     for surface, direction in (("real-forward", "forward"),
                                ("real-inverse", "inverse")):

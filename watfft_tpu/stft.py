@@ -13,8 +13,22 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from .plan import is_power_of_two
+
 __all__ = ["get_window", "frame", "stft", "istft", "spectrogram",
            "mel_filterbank"]
+
+
+def _check_stft_args(n_fft: int, hop: int, t: int | None = None) -> None:
+    """Typed boundary checks (reference analog: tests/boundary.test.js —
+    rejection is explicit and typed, never a raw kernel error)."""
+    if not isinstance(n_fft, (int, np.integer)) or not is_power_of_two(int(n_fft)) or n_fft < 4:
+        raise ValueError(f"n_fft must be a power of two >= 4, got {n_fft!r}")
+    if not isinstance(hop, (int, np.integer)) or hop < 1:
+        raise ValueError(f"hop must be a positive integer, got {hop!r}")
+    if t is not None and t < n_fft:
+        raise ValueError(
+            f"signal length {t} is shorter than n_fft={n_fft}: no full frame")
 
 
 def get_window(name: str, n: int, dtype=np.float32) -> np.ndarray:
@@ -59,6 +73,7 @@ def stft(x, n_fft: int = 1024, hop: int = 256, window: str = "hann"):
     path (BASELINE config 4's workload: thousands of N-point transforms
     packed along lanes); elsewhere it uses the portable four-step surface.
     """
+    _check_stft_args(n_fft, hop, jnp.shape(x)[-1])
     if jax.default_backend() == "tpu":
         return _stft_tpu(x, n_fft, hop, window)
     w = jnp.asarray(get_window(window, n_fft))
@@ -102,6 +117,7 @@ def istft(sre, sim, n_fft: int = 1024, hop: int = 256, window: str = "hann",
     lowers it to an efficient segment reduction), not a per-frame loop.
     NOTE: plan contexts are created eagerly (outside any jit) — creating
     them under a trace would cache tracer-backed tables."""
+    _check_stft_args(n_fft, hop)
     ctx = _ctx_cache_get(n_fft)
     frames = ctx.inverse_planes(sre, sim)  # [..., num, n_fft]
     w = jnp.asarray(get_window(window, n_fft))
