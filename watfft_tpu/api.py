@@ -97,6 +97,26 @@ class _BaseContext:
             x = np.asarray(x, np_c)
         return self._prep(x).astype(self._cdtype)
 
+    # Complex dtypes cannot cross the host<->device boundary on the axon TPU
+    # tunnel, and eager complex ops (re + 1j*im) fail there too — only
+    # jits with REAL inputs and outputs are safe (tests/conftest + bench
+    # learned this; .claude/skills/verify documents it). So on TPU backends
+    # the complex-dtype convenience API splits/assembles on the HOST and
+    # routes through the plane entry points; split planes stay the
+    # device-resident hot path.
+    def _complex_via_host(self) -> bool:
+        return jax.default_backend() == "tpu"
+
+    def _split_host(self, x):
+        np_c = np.complex128 if self.dtype == "float64" else np.complex64
+        x = np.asarray(x, np_c)
+        return (np.ascontiguousarray(x.real, self._np_dtype),
+                np.ascontiguousarray(x.imag, self._np_dtype))
+
+    def _assemble_host(self, re, im):
+        np_c = np.complex128 if self.dtype == "float64" else np.complex64
+        return (np.asarray(re) + 1j * np.asarray(im)).astype(np_c)
+
 
 class FFTContext(_BaseContext):
     """Complex FFT context: forward/inverse over [..., n] (reference analog:
@@ -190,11 +210,17 @@ class FFTContext(_BaseContext):
 
     # -- complex-dtype convenience entry points (planner-dispatched) ----------
     def forward(self, x):
+        if self._complex_via_host():
+            re, im = self.forward_planes(*self._split_host(x))
+            return self._assemble_host(re, im)
         x = self._prep_complex(x)
         re, im = self.forward_planes(x.real, x.imag)
         return (re + 1j * im).astype(self._cdtype)
 
     def inverse(self, x):
+        if self._complex_via_host():
+            re, im = self.inverse_planes(*self._split_host(x))
+            return self._assemble_host(re, im)
         x = self._prep_complex(x)
         re, im = self.inverse_planes(x.real, x.imag)
         return (re + 1j * im).astype(self._cdtype)
@@ -299,11 +325,17 @@ class RFFTContext(_BaseContext):
         return ore.T.reshape(*lead, m1), oim.T.reshape(*lead, m1)
 
     def forward(self, x):
+        if self._complex_via_host():
+            x = np.asarray(np.asarray(x).real, self._np_dtype)
+            re, im = self.forward_planes(x)
+            return self._assemble_host(re, im)
         x = self._prep(np.asarray(x, self._np_dtype) if not isinstance(x, jax.Array) else x).astype(self._np_dtype.name)
         re, im = self.forward_planes(x)
         return (re + 1j * im).astype(self._cdtype)
 
     def inverse(self, x):
+        if self._complex_via_host():
+            return self.inverse_planes(*self._split_host(x))
         x = self._prep_complex(x)
         return self.inverse_planes(x.real, x.imag)
 
@@ -344,39 +376,45 @@ def _ctx(kind: str, n: int, dtype: str):
     return _ctx_cache[key]
 
 
+def _fft2_impl(x, inverse: bool):
+    from .ops.fft2 import fft2_planes
+    if jax.default_backend() == "tpu":
+        # axon tunnel: complex never touches the device (see _BaseContext)
+        x = np.asarray(x, np.complex64)
+        re, im = fft2_planes(jnp.asarray(np.ascontiguousarray(x.real)),
+                             jnp.asarray(np.ascontiguousarray(x.imag)),
+                             inverse=inverse)
+        return (np.asarray(re) + 1j * np.asarray(im)).astype(np.complex64)
+    x = jnp.asarray(x, jnp.complex64)
+    re, im = fft2_planes(x.real, x.imag, inverse=inverse)
+    return re + 1j * im
+
+
 def fft2(x):
     """2D FFT over the trailing [h, w] axes of a complex array (f32 path).
     Multi-chip version: parallel.sharded.fft2_sharded."""
-    from .ops.fft2 import fft2_planes
-    x = jnp.asarray(x, jnp.complex64)
-    re, im = fft2_planes(x.real, x.imag)
-    return re + 1j * im
+    return _fft2_impl(x, inverse=False)
 
 
 def ifft2(x):
     """Inverse 2D FFT (normalized) over the trailing [h, w] axes."""
-    from .ops.fft2 import fft2_planes
-    x = jnp.asarray(x, jnp.complex64)
-    re, im = fft2_planes(x.real, x.imag, inverse=True)
-    return re + 1j * im
+    return _fft2_impl(x, inverse=True)
 
 
 def fft(x, dtype: str = "float32"):
-    x = jnp.asarray(x)
-    return _ctx("c2c", x.shape[-1], dtype).forward(x)
+    # no jnp.asarray here: x may be complex, which must never touch the
+    # axon device (the context's forward() handles placement per backend)
+    return _ctx("c2c", np.shape(x)[-1], dtype).forward(x)
 
 
 def ifft(x, dtype: str = "float32"):
-    x = jnp.asarray(x)
-    return _ctx("c2c", x.shape[-1], dtype).inverse(x)
+    return _ctx("c2c", np.shape(x)[-1], dtype).inverse(x)
 
 
 def rfft(x, dtype: str = "float32"):
-    x = jnp.asarray(x)
-    return _ctx("r2c", x.shape[-1], dtype).forward(x)
+    return _ctx("r2c", np.shape(x)[-1], dtype).forward(x)
 
 
 def irfft(x, dtype: str = "float32"):
-    x = jnp.asarray(x)
-    n = 2 * (x.shape[-1] - 1)
+    n = 2 * (np.shape(x)[-1] - 1)
     return _ctx("r2c", n, dtype).inverse(x)
