@@ -51,7 +51,8 @@ BENCHED_SURFACES = {
     "rfft-pallas-fused",  # single-pass fused real point
     "doublefloat-pallas", # f64 tier complex point
     "doublefloat-rfft",   # f64 tier real point
-    "fourstep-mxu",       # XLA path in its dispatch domain (n > 16384)
+    "large-nb",           # batched four-step: the n > 16384 dispatch target
+    "fourstep-mxu",       # XLA fallback path (non-pow2-friendly backends)
 }
 
 
@@ -105,10 +106,11 @@ def main(full: bool = False) -> None:
                 return stockham_fft_nb(a, bb, inverse=True)
             # median on our side: best-of would cherry-pick jitter in OUR
             # favor; the baseline keeps best-of-two so jitter can only
-            # shrink the reported speedup. Small n gets 9 reps (tunnel
-            # jitter is largest relative to the ~40us roofline signal there
-            # — r2's 1.44x at n=64 was a noisy median-of-5, Exp 17/20).
-            reps = 9 if n <= 64 else 3
+            # shrink the reported speedup. Small/mid n gets more reps (the
+            # tunnel jitter band varies by the hour and is largest relative
+            # to the ~40-70us signal there — Exp 17/20/21; an r2 bench run
+            # recorded n=256 at 136us on 3 reps vs the probe's 70us median).
+            reps = 9 if n <= 64 else (5 if n <= 512 else 3)
             t_ours = sorted(time_chain(pstep, (xre_t, xim_t))
                             for _ in range(reps))[reps // 2]
             t_ours = max(t_ours, _roundtrip_floor(xre_t.size))
@@ -278,8 +280,38 @@ def main(full: bool = False) -> None:
     except Exception as e:
         print(f"  doublefloat bench failed: {str(e)[:120]}", file=sys.stderr)
 
-    # ---------------- four-step XLA path in its dispatch domain -----------
-    # the planner sends n > STOCKHAM_MAX_N (16384) here, so bench it there
+    # ---------------- n > 16384 dispatch domain: batched four-step --------
+    # the planner sends n > STOCKHAM_MAX_N here (round-2 Exp 22: the XLA
+    # einsum path lost at 0.75x; large-nb wins 1.18x at 32768, 2.59x at 2^17)
+    try:
+        from watfft_tpu.ops.large import fft_large_nb
+        for n, b in ((32768, 64), (1 << 17, 16)):
+            xre_t = jnp.asarray(rng.uniform(-1, 1, (n, b)).astype(np.float32))
+            xim_t = jnp.asarray(rng.uniform(-1, 1, (n, b)).astype(np.float32))
+
+            def lnstep(c):
+                a, bb = c
+                a, bb = fft_large_nb(a, bb, inverse=False)
+                return fft_large_nb(a, bb, inverse=True)
+            t_ln = sorted(time_chain(lnstep, (xre_t, xim_t))
+                          for _ in range(3))[1]
+            t_ln = max(t_ln, _roundtrip_floor(xre_t.size))
+            xre = jnp.asarray(rng.uniform(-1, 1, (b, n)).astype(np.float32))
+            xim = jnp.asarray(rng.uniform(-1, 1, (b, n)).astype(np.float32))
+
+            def jstep8(c):
+                a, bb = c
+                z = jnp.fft.ifft(jnp.fft.fft(a + 1j * bb))
+                return z.real, z.imag
+            t_j8 = min(time_chain(jstep8, (xre, xim)) for _ in range(2))
+            record(f"watfft/large-nb/f32/n{n}", t_ln, b)
+            record(f"jnp.fft/f32/n{n}", t_j8, b)
+            print(f"  [large-nb] n={n} b={b}: ours={2*b/t_ln:,.0f}/s "
+                  f"jnp={2*b/t_j8:,.0f}/s x{t_j8/t_ln:.2f}", file=sys.stderr)
+    except Exception as e:
+        print(f"  large-nb bench failed: {str(e)[:120]}", file=sys.stderr)
+
+    # ---------------- four-step XLA fallback surface ----------------------
     try:
         n, b = 32768, 64
         ctx = FFTContext(n, "float32")
@@ -291,16 +323,9 @@ def main(full: bool = False) -> None:
             a, bb = ctx.forward_planes_fourstep(a, bb)
             return ctx.inverse_planes_fourstep(a, bb)
         t_f = sorted(time_chain(fstep, (xre, xim)) for _ in range(3))[1]
-
-        def jstep8(c):
-            a, bb = c
-            z = jnp.fft.ifft(jnp.fft.fft(a + 1j * bb))
-            return z.real, z.imag
-        t_j8 = min(time_chain(jstep8, (xre, xim)) for _ in range(2))
         record(f"watfft/fourstep-mxu/f32/n{n}", t_f, b)
-        record(f"jnp.fft/f32/n{n}", t_j8, b)
-        print(f"  [fourstep] n={n} b={b}: ours={2*b/t_f:,.0f}/s "
-              f"jnp={2*b/t_j8:,.0f}/s x{t_j8/t_f:.2f}", file=sys.stderr)
+        print(f"  [fourstep-xla] n={n} b={b}: {2*b/t_f:,.0f}/s",
+              file=sys.stderr)
     except Exception as e:
         print(f"  fourstep bench failed: {str(e)[:120]}", file=sys.stderr)
 

@@ -81,3 +81,43 @@ def test_postmul_kernel_matches_separate_multiply():
     gre, gim = stockham_fft_nb_postmul(xre, xim, pre, pim)
     assert np.max(np.abs(np.asarray(gre) - np.asarray(expected_re))) < 1e-3
     assert np.max(np.abs(np.asarray(gim) - np.asarray(expected_im))) < 1e-3
+
+
+def test_tiled_twiddle_cache_matches_repeat():
+    """_TwCacheTiled repeats each four-step twiddle column across the
+    in-column transform batch (the fft_large_nb layout)."""
+    from watfft_tpu.ops.large import _TwCache, _TwCacheTiled
+    n, n1, n2, b = 1 << 14, 128, 128, 4
+    twre, twim = _TwCache.get(n, n1, n2, False)
+    tre, tim = _TwCacheTiled.get(n, n1, n2, b, False)
+    assert tre.shape == (n2, n1 * b)
+    assert np.array_equal(tre, np.repeat(twre, b, axis=1))
+    assert np.array_equal(tim, np.repeat(twim, b, axis=1))
+
+
+@pytest.mark.parametrize("batch", [1, 2])
+def test_fft_large_nb_matches_fftpack(batch):
+    from watfft_tpu.ops.large import fft_large_nb
+    n = 1 << 14
+    rng = ref.seeded_rng(batch)
+    x = rng.uniform(-1, 1, (batch, n)) + 1j * rng.uniform(-1, 1, (batch, n))
+    xre = np.ascontiguousarray(x.real.T).astype(np.float32)
+    xim = np.ascontiguousarray(x.imag.T).astype(np.float32)
+    re, im = fft_large_nb(xre, xim)
+    got = np.asarray(re).T + 1j * np.asarray(im).T
+    expected = np.fft.fft(x, axis=-1)
+    err = np.max(np.abs(got - expected)) / np.max(np.abs(expected))
+    assert err < 5e-6, err
+    bre, bim = fft_large_nb(np.asarray(re), np.asarray(im), inverse=True)
+    assert np.max(np.abs(np.asarray(bre).T - x.real)) < 1e-4
+    assert np.max(np.abs(np.asarray(bim).T - x.imag)) < 1e-4
+
+
+def test_fft_large_nb_rejects_bad_shapes():
+    from watfft_tpu.ops.large import fft_large_nb
+    with pytest.raises(ValueError):
+        fft_large_nb(np.zeros((4096, 1), np.float32),
+                     np.zeros((4096, 1), np.float32))
+    with pytest.raises(ValueError):
+        fft_large_nb(np.zeros((1 << 14, 3), np.float32),
+                     np.zeros((1 << 14, 3), np.float32))

@@ -36,7 +36,10 @@ def test_decision_table_pallas(interpret_mode):
     assert planner.c2c_kernel(16, "float32") == "stockham"
     assert planner.c2c_kernel(4096, "float32") == "stockham"
     assert planner.c2c_kernel(16384, "float32") == "stockham"  # Exp 20 ceiling
-    assert planner.c2c_kernel(32768, "float32") == "fourstep"  # beyond kernel range
+    # beyond the kernel ceiling: batched four-step on the Pallas kernel
+    # (round-2 Exp 22 — the XLA einsum path lost to jnp at 32768)
+    assert planner.c2c_kernel(32768, "float32") == "large-nb"
+    assert planner.c2c_kernel(1 << 20, "float32") == "large-nb"
     assert planner.c2c_kernel(1024, "float64") == "fourstep"   # f64 tier is separate
     assert planner.r2c_kernel(1024, "float32") == "rfft-pallas"
     assert planner.r2c_kernel(4, "float32") == "fourstep"      # below kernel range

@@ -140,13 +140,19 @@ class FFTContext(_BaseContext):
     # XLA transposes (Exp 18 — chained calls cancel interior transposes);
     # everything else takes the four-step MXU path.
     def forward_planes(self, xre, xim):
-        if planner.c2c_kernel(self.size, self.dtype) == "stockham":
+        kind = planner.c2c_kernel(self.size, self.dtype)
+        if kind == "stockham":
             return self._bm_stockham(xre, xim, inverse=False)
+        if kind == "large-nb":
+            return self._bm_large(xre, xim, inverse=False)
         return self.forward_planes_fourstep(xre, xim)
 
     def inverse_planes(self, xre, xim):
-        if planner.c2c_kernel(self.size, self.dtype) == "stockham":
+        kind = planner.c2c_kernel(self.size, self.dtype)
+        if kind == "stockham":
             return self._bm_stockham(xre, xim, inverse=True)
+        if kind == "large-nb":
+            return self._bm_large(xre, xim, inverse=True)
         return self.inverse_planes_fourstep(xre, xim)
 
     # -- explicit four-step (XLA) surface: always available, differentiable,
@@ -176,6 +182,25 @@ class FFTContext(_BaseContext):
         return (ore.T.reshape(*lead, self.size),
                 oim.T.reshape(*lead, self.size))
 
+    def _bm_large(self, xre, xim, inverse: bool):
+        """Batch-major [..., n] planes -> batched four-step (fft_large_nb)
+        behind XLA transposes + power-of-two batch padding."""
+        from .ops.large import fft_large_nb
+        xre, xim = self._prep(xre), self._prep(xim)
+        lead = xre.shape[:-1]
+        a = xre.reshape(-1, self.size).T
+        b = xim.reshape(-1, self.size).T
+        bsz = a.shape[-1]
+        bpad = 1 << max(0, bsz - 1).bit_length()  # next power of two
+        if bpad != bsz:
+            a = jnp.pad(a, ((0, 0), (0, bpad - bsz)))
+            b = jnp.pad(b, ((0, 0), (0, bpad - bsz)))
+        ore, oim = fft_large_nb(a, b, inverse=inverse)
+        if bpad != bsz:
+            ore, oim = ore[:, :bsz], oim[:, :bsz]
+        return (ore.T.reshape(*lead, self.size),
+                oim.T.reshape(*lead, self.size))
+
     # -- time-major [n, batch] entry points (the Pallas hot paths) ------------
     # Batch rides the 128-lane axis; this is the layout the flagship Stockham
     # kernel runs butterflies in with zero lane shuffles. f32 uses the
@@ -184,6 +209,18 @@ class FFTContext(_BaseContext):
     # returns f64 planes, splitting and merging at the boundary.
     def _nb(self, xre, xim, inverse: bool):
         if self.dtype == "float32":
+            if planner.c2c_kernel(self.size, self.dtype) == "large-nb":
+                # time-major is fft_large_nb's native layout: pad batch to
+                # a power of two, no transpose
+                from .ops.large import fft_large_nb
+                xre, xim = self._prep(xre), self._prep(xim)
+                b = xre.shape[-1]
+                bpad = 1 << max(0, b - 1).bit_length()
+                if bpad != b:
+                    xre = jnp.pad(xre, ((0, 0), (0, bpad - b)))
+                    xim = jnp.pad(xim, ((0, 0), (0, bpad - b)))
+                ore, oim = fft_large_nb(xre, xim, inverse=inverse)
+                return (ore[:, :b], oim[:, :b]) if bpad != b else (ore, oim)
             from .ops.pallas_stockham import stockham_fft_nb
             xre, xim = self._prep(xre), self._prep(xim)
             b = xre.shape[-1]

@@ -24,10 +24,11 @@ import functools
 
 import numpy as np
 import jax
+import jax.numpy as jnp
 
 from .pallas_stockham import stockham_fft_nb, stockham_fft_nb_postmul
 
-__all__ = ["fft_large", "large_split"]
+__all__ = ["fft_large", "fft_large_nb", "large_split"]
 
 
 def large_split(n: int) -> tuple[int, int]:
@@ -70,6 +71,74 @@ def _fft_large(xre, xim, twre, twim, n1, n2, inverse):
     # step 4: outer FFTs -> D[k1, k2]; flat order is the natural output
     dre, dim = stockham_fft_nb(cre, cim, inverse=inverse)
     return dre.reshape(-1), dim.reshape(-1)
+
+
+class _TwCacheTiled:
+    """Host cache of the four-step twiddle repeated across a small in-column
+    batch: [n2, n1] -> [n2, n1*b] with each column repeated b times."""
+
+    _c: dict = {}
+
+    @classmethod
+    def get(cls, n, n1, n2, b, inverse):
+        key = (n, n1, b, inverse)
+        if key not in cls._c:
+            twre, twim = _TwCache.get(n, n1, n2, inverse)
+            cls._c[key] = (np.repeat(twre, b, axis=1),
+                           np.repeat(twim, b, axis=1))
+        return cls._c[key]
+
+
+@functools.partial(jax.jit, static_argnames=("n1", "n2", "inverse"))
+def _fft_large_nb(xre, xim, twre, twim, n1, n2, inverse):
+    # Batched four-step on TIME-MAJOR planes [n, b] (the kernel-native
+    # layout). With rows j = j1 + n1*j2, the [n2, n1*b] view's columns are
+    # (j1, s) with j1 major, so step 1+2 (inner FFTs over j2 + the
+    # four-step twiddle) is ONE kernel call with no input transpose. The
+    # twiddle T[k2, j1] is host-pre-tiled across the in-column batch
+    # ([n2, n1*b]): an in-kernel column broadcast would need a lane-split
+    # [n, k, rep] view, which Mosaic only lowers for rep % 128 == 0 AND
+    # pm blocks >= 128 lanes — verified unlowerable on chip for practical
+    # tiles. The tiled multiplier costs one extra plane-read on this kernel
+    # only (~+17% pipeline traffic), still cheaper than a separate XLA
+    # multiply pass (Exp 14).
+    b = xre.shape[-1]
+    xre = xre.reshape(n2, n1 * b)
+    xim = xim.reshape(n2, n1 * b)
+    cre, cim = stockham_fft_nb_postmul(xre, xim, twre, twim, inverse=inverse)
+    # step 3: the one relayout — bring j1 to the row axis, keeping the
+    # transform batch innermost: [n2, n1, b] -> [n1, n2, b]
+    cre = jnp.swapaxes(cre.reshape(n2, n1, b), 0, 1).reshape(n1, n2 * b)
+    cim = jnp.swapaxes(cim.reshape(n2, n1, b), 0, 1).reshape(n1, n2 * b)
+    # step 4: outer FFTs over j1 -> D[k1, (k2, s)]; the flat [n, b] view is
+    # already the natural output order X[k1*n2 + k2, s]
+    dre, dim = stockham_fft_nb(cre, cim, inverse=inverse)
+    return dre.reshape(n1 * n2, b), dim.reshape(n1 * n2, b)
+
+
+def fft_large_nb(xre, xim, inverse: bool = False):
+    """Batched large-N FFT on time-major planes [N, batch] (f32).
+
+    Four-step decomposition with BOTH kernel calls batched over the lane
+    axis: the inner call folds (j1, batch) into its batch, the outer call
+    folds (k2, batch). One relayout total — identical pass count to the
+    single-transform fft_large. N must be a power of two >= 2^14 (both
+    factors >= 128). batch must be a power of two (so twiddle-column
+    boundaries align with lane tiles); even batch=1 fills the lanes since
+    the fold multiplies it by n1/n2 >= 128.
+    """
+    n, b = xre.shape[-2], xre.shape[-1]
+    n1, n2 = large_split(n)
+    if min(n1, n2) < 128:
+        raise ValueError(
+            f"fft_large_nb requires N >= 2^14 so both factors reach the "
+            f"128-lane minimum (got N={n} -> {n1}x{n2})")
+    if b & (b - 1):
+        raise ValueError(
+            f"fft_large_nb batch must be a power of two (got {b}); pad the "
+            f"batch axis at the caller")
+    twre, twim = _TwCacheTiled.get(n, n1, n2, b, inverse)
+    return _fft_large_nb(xre, xim, twre, twim, n1, n2, inverse)
 
 
 def fft_large(xre, xim, inverse: bool = False):

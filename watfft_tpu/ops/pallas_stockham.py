@@ -353,7 +353,7 @@ def _pick_tile(n: int, b: int) -> int:
     Exp 3/5): small n wants wide tiles (amortize per-grid-step cost), large
     n is VMEM-bound (peak live set ~17 [n, tb] f32 arrays)."""
     if n <= 64:
-        tb = 1024  # also enables the 3D small-n mode (needs w = tb/8 >= 128)
+        tb = 2048  # 3D mode; round-2 probe: 37us med vs 56us @1024 at n=64
     elif n <= 128:
         tb = 2048  # 3D mode: 43us vs 77us at n=128 (Exp 10)
     elif n <= 256:

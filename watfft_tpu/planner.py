@@ -48,10 +48,14 @@ def pallas_available() -> bool:
 
 
 def c2c_kernel(n: int, dtype: str) -> str:
-    """'stockham' (Pallas VPU kernel) or 'fourstep' (XLA MXU matmuls)."""
-    if (dtype == "float32" and pallas_available()
-            and is_power_of_two(n) and 2 <= n <= config.STOCKHAM_MAX_N):
-        return "stockham"
+    """'stockham' (Pallas VPU kernel), 'large-nb' (batched four-step with
+    both factor FFTs on the Pallas kernel — round-2 Exp 22: the XLA einsum
+    path LOST to jnp at n=32768, x0.75), or 'fourstep' (XLA MXU matmuls)."""
+    if dtype == "float32" and pallas_available() and is_power_of_two(n):
+        if 2 <= n <= config.STOCKHAM_MAX_N:
+            return "stockham"
+        if n >= 1 << 14:
+            return "large-nb"
     return "fourstep"
 
 

@@ -327,6 +327,32 @@ def _mk_mxu_dft(inverse: bool):
     return make
 
 
+def _mk_large_nb(inverse: bool):
+    """Batched four-step surface (f32, n >= 2^14): both factor FFTs on the
+    Pallas kernel, four-step twiddle fused into kernel 1's store (round-2
+    Exp 22). The planner dispatches the public API here for n > 16384."""
+    import jax.numpy as jnp
+    from .ops.large import fft_large_nb
+
+    def make(n: int):
+        def run(x):
+            x = np.asarray(x)
+            squeeze = x.ndim == 1
+            x = np.atleast_2d(x).astype(np.complex64)
+            b = x.shape[0]
+            bp = 1 << max(0, b - 1).bit_length()  # power-of-two batch
+            xre = np.zeros((n, bp), np.float32)
+            xim = np.zeros((n, bp), np.float32)
+            xre[:, :b] = x.real.T
+            xim[:, :b] = x.imag.T
+            yre, yim = fft_large_nb(jnp.asarray(xre), jnp.asarray(xim),
+                                    inverse=inverse)
+            out = (np.asarray(yre)[:, :b] + 1j * np.asarray(yim)[:, :b]).T
+            return out[0] if squeeze else out
+        return run
+    return make
+
+
 def _build_registry() -> list[SurfaceEntry]:
     out: list[SurfaceEntry] = []
     for surface, direction in (("complex-forward", "forward"),
@@ -372,6 +398,15 @@ def _build_registry() -> list[SurfaceEntry]:
             name="mxu-dft", surface=surface, dtype="float32",
             min_size=2, max_size=128, flagship=False, baseline=False,
             make=_mk_mxu_dft(inverse)))
+    for surface, inverse in (("complex-forward", False),
+                             ("complex-inverse", True)):
+        # batched four-step on the Pallas kernel — the planner's dispatch
+        # target for n > 16384 (round-2 Exp 22: x1.18 at 32768, x2.59 at
+        # 2^17 vs jnp; the XLA einsum path lost at 0.75x)
+        out.append(SurfaceEntry(
+            name="large-nb", surface=surface, dtype="float32",
+            min_size=1 << 14, max_size=1 << 20, flagship=False, baseline=False,
+            make=_mk_large_nb(inverse)))
     for dtype in ("float32", "float64"):
         max_n = 1 << 20
         for surface, kind, direction in (

@@ -82,6 +82,25 @@ def stft(x, n_fft: int = 1024, hop: int = 256, window: str = "hann"):
     return ctx.forward_planes(frames)
 
 
+def _frames_time_major(x, n_fft: int, hop: int, num: int):
+    """frames[..., k, j] = x[..., j*hop + k], built from STRIDED SLICES
+    instead of a gather (jnp.take lowers to a TPU gather, which serializes;
+    round-2 Exp 23). With g = gcd(hop, n_fft), view the signal as [t/g, g]
+    rows; frame row k = a*g + r is the stride-(hop/g) row slice starting at
+    a, transposed — n_fft/g slices + one concat, all relayout-only ops."""
+    import math as _m
+    g = _m.gcd(hop, n_fft)
+    hq = hop // g
+    batch = x.shape[:-1]
+    usable = (num - 1) * hop + n_fft
+    xv = x[..., :usable].reshape(*batch, usable // g, g)
+    slabs = []
+    for a in range(n_fft // g):
+        sl = jax.lax.slice_in_dim(xv, a, a + (num - 1) * hq + 1, hq, axis=-2)
+        slabs.append(jnp.swapaxes(sl, -1, -2))  # [..., g, num]
+    return jnp.concatenate(slabs, axis=-2)  # [..., n_fft, num]
+
+
 def _stft_tpu(x, n_fft: int, hop: int, window: str):
     from .ops.pallas_rfft import rfft_nb
     x = jnp.asarray(x, jnp.float32)
@@ -89,9 +108,7 @@ def _stft_tpu(x, n_fft: int, hop: int, window: str):
     num = max(0, (t - n_fft) // hop + 1)
     batch = x.shape[:-1]
     lead = int(np.prod(batch)) if batch else 1
-    # time-major frame extraction: idx [n_fft, num] -> frames [..., n_fft, num]
-    idx = (np.arange(num)[None, :] * hop + np.arange(n_fft)[:, None])
-    frames = jnp.take(x, jnp.asarray(idx), axis=-1)
+    frames = _frames_time_major(x, n_fft, hop, num)
     w = jnp.asarray(get_window(window, n_fft))[:, None]
     frames = frames * w
     # fold leading batch dims into lanes and pad to 128
