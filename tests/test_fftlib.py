@@ -57,3 +57,62 @@ def test_helpers_delegate():
     np.testing.assert_allclose(np.asarray(fftlib.fftfreq(8)), np.fft.fftfreq(8))
     x = np.arange(8.0)
     np.testing.assert_allclose(np.asarray(fftlib.fftshift(x)), np.fft.fftshift(x))
+
+
+@pytest.mark.parametrize("norm", [None, "ortho", "forward"])
+def test_fftn_matches_numpy(norm):
+    rng = np.random.default_rng(5)
+    x = (rng.uniform(-1, 1, (8, 16, 32))
+         + 1j * rng.uniform(-1, 1, (8, 16, 32))).astype(np.complex64)
+    got = np.asarray(fftlib.fftn(x, norm=norm))
+    np.testing.assert_allclose(got, np.fft.fftn(x, norm=norm), atol=2e-3)
+    back = np.asarray(fftlib.ifftn(got, norm=norm))
+    np.testing.assert_allclose(back, x, atol=2e-4)
+
+
+def test_fftn_axes_and_s():
+    rng = np.random.default_rng(6)
+    x = (rng.uniform(-1, 1, (4, 16, 32))
+         + 1j * rng.uniform(-1, 1, (4, 16, 32))).astype(np.complex64)
+    got = np.asarray(fftlib.fftn(x, s=(8, 16), axes=(1, 2)))
+    np.testing.assert_allclose(got, np.fft.fftn(x, s=(8, 16), axes=(1, 2)),
+                               atol=2e-3)
+
+
+@pytest.mark.parametrize("norm", [None, "ortho"])
+def test_rfft2_matches_numpy(norm):
+    rng = np.random.default_rng(7)
+    x = rng.uniform(-1, 1, (32, 64)).astype(np.float32)
+    got = np.asarray(fftlib.rfft2(x, norm=norm))
+    np.testing.assert_allclose(got, np.fft.rfft2(x, norm=norm), atol=2e-3)
+    back = np.asarray(fftlib.irfft2(got, norm=norm))
+    np.testing.assert_allclose(back, x, atol=2e-4)
+
+
+@pytest.mark.parametrize("norm", [None, "ortho", "forward"])
+def test_hfft_ihfft_match_numpy(norm):
+    rng = np.random.default_rng(8)
+    m = 33  # spectrum length for n=64
+    x = (rng.uniform(-1, 1, m) + 1j * rng.uniform(-1, 1, m)).astype(np.complex64)
+    got = np.asarray(fftlib.hfft(x, norm=norm))
+    np.testing.assert_allclose(got, np.fft.hfft(x, norm=norm), atol=2e-3)
+    y = rng.uniform(-1, 1, 64).astype(np.float32)
+    got = np.asarray(fftlib.ihfft(y, norm=norm))
+    np.testing.assert_allclose(got, np.fft.ihfft(y, norm=norm), atol=2e-5)
+
+
+def test_mxu_precision_ladder(monkeypatch):
+    """config.MXU_PRECISION='default' (single-pass bf16 fast tier) keeps the
+    four-step surface working; accuracy is exercised on real MXU hardware by
+    bench/accuracy tooling (CPU matmuls ignore the precision flag)."""
+    from watfft_tpu import config
+    from watfft_tpu.api import FFTContext
+    monkeypatch.setattr(config, "MXU_PRECISION", "default")
+    rng = np.random.default_rng(9)
+    ctx = FFTContext(256, "float32")
+    xre = rng.uniform(-1, 1, (4, 256)).astype(np.float32)
+    xim = rng.uniform(-1, 1, (4, 256)).astype(np.float32)
+    re, im = ctx.forward_planes_fourstep(xre, xim)
+    ref = np.fft.fft(xre.astype(np.float64) + 1j * xim.astype(np.float64))
+    got = np.asarray(re) + 1j * np.asarray(im)
+    assert np.max(np.abs(got - ref)) / np.max(np.abs(ref)) < 1e-2

@@ -32,6 +32,11 @@ def _int_env(name: str, default: int) -> int:
 
 
 VMEM_LIMIT_BYTES = _int_env("WATFFT_VMEM_LIMIT_MB", 100) * 1024 * 1024
+# MXU precision ladder for the four-step matmul surface: "highest" (default,
+# multi-pass bf16 = near-f32, ~1e-7) or "default" (single-pass bf16, ~1e-3 —
+# the opt-in fast tier for ML workloads where activations are bf16 anyway).
+# Read at trace time: set before creating contexts / first call per shape.
+MXU_PRECISION = os.environ.get("WATFFT_MXU_PRECISION", "highest")
 USE3D_MAX_N = _int_env("WATFFT_USE3D_MAX_N", 256)  # Exp 21: 256@tile1024 69->57us
 DIRECT_MAX = _int_env("WATFFT_DIRECT_MAX", 128)
 # 16384 = largest n whose ~17-plane VMEM live set still compiles at tile 128

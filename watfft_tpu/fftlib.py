@@ -27,6 +27,7 @@ import jax.numpy as jnp
 from . import api
 
 __all__ = ["fft", "ifft", "rfft", "irfft", "fft2", "ifft2",
+           "fftn", "ifftn", "rfft2", "irfft2", "hfft", "ihfft",
            "fftfreq", "rfftfreq", "fftshift", "ifftshift"]
 
 
@@ -105,6 +106,18 @@ def irfft(a, n=None, axis=-1, norm=None):
         m = n // 2 + 1
         a, _ = _fix_len(xp, a, m, axis)
     moved = xp.moveaxis(a, axis, -1)
+    # numpy semantics: the imaginary parts of the DC and Nyquist bins are
+    # ignored (a Hermitian spectrum has real ends); our kernel's composed
+    # map READS those rows (they carry information in the packed layout —
+    # Exp 21), so zero them here for drop-in parity
+    ends = moved[..., :1].real, moved[..., -1:].real
+    if xp is np:
+        moved = moved.copy()
+        moved[..., 0] = ends[0][..., 0]
+        moved[..., -1] = ends[1][..., 0]
+    else:
+        moved = moved.at[..., 0].set(ends[0][..., 0])
+        moved = moved.at[..., -1].set(ends[1][..., 0])
     out = api.irfft(moved)
     nn = out.shape[-1]
     s = _norm_scale(norm, nn, "inv")
@@ -141,6 +154,89 @@ def ifft2(a, axes=(-2, -1), norm=None):
     if tuple(axes) != (-2, -1):
         out = xp.moveaxis(out, (-2, -1), axes)
     return out
+
+
+def _resolve_axes(a, s, axes):
+    if axes is None:
+        axes = (tuple(range(a.ndim)) if s is None
+                else tuple(range(-len(s), 0)))
+    axes = tuple(int(ax) for ax in axes)
+    if s is None:
+        s = tuple(a.shape[ax] for ax in axes)
+    if len(s) != len(axes):
+        raise ValueError(f"s and axes length mismatch: {s} vs {axes}")
+    return s, axes
+
+
+def fftn(a, s=None, axes=None, norm=None):
+    """N-D FFT over `axes` (default: all), applied axis-by-axis through the
+    1D dispatch path (the trailing pair could use fft2; axis-sequential
+    keeps `s`/`axes` semantics exactly numpy's)."""
+    xp = _xp()
+    a = xp.asarray(a)
+    s, axes = _resolve_axes(a, s, axes)
+    ntot = 1
+    for ax, n in zip(axes, s):
+        a = fft(a, n=n, axis=ax, norm=None)
+        ntot *= n
+    sc = _norm_scale(norm, ntot, "fwd")
+    return a * sc if sc != 1.0 else a
+
+
+def ifftn(a, s=None, axes=None, norm=None):
+    xp = _xp()
+    a = xp.asarray(a)
+    s, axes = _resolve_axes(a, s, axes)
+    ntot = 1
+    for ax, n in zip(axes, s):
+        a = ifft(a, n=n, axis=ax, norm=None)
+        ntot *= n
+    sc = _norm_scale(norm, ntot, "inv")
+    return a * sc if sc != 1.0 else a
+
+
+def rfft2(a, s=None, axes=(-2, -1), norm=None):
+    """2D real FFT: rfft along axes[-1], then a full fft along axes[0]."""
+    xp = _xp()
+    a = xp.asarray(a)
+    if s is None:
+        s = (a.shape[axes[0]], a.shape[axes[1]])
+    out = rfft(a, n=s[1], axis=axes[1], norm=None)
+    out = fft(out, n=s[0], axis=axes[0], norm=None)
+    sc = _norm_scale(norm, s[0] * s[1], "fwd")
+    return out * sc if sc != 1.0 else out
+
+
+def irfft2(a, s=None, axes=(-2, -1), norm=None):
+    xp = _xp()
+    a = xp.asarray(a)
+    if s is None:
+        s = (a.shape[axes[0]], 2 * (a.shape[axes[1]] - 1))
+    out = ifft(a, n=s[0], axis=axes[0], norm=None)
+    out = irfft(out, n=s[1], axis=axes[1], norm=None)
+    sc = _norm_scale(norm, s[0] * s[1], "inv")
+    return out * sc if sc != 1.0 else out
+
+
+def hfft(a, n=None, axis=-1, norm=None):
+    """FFT of Hermitian-symmetric input -> real output, via the real-path
+    kernels: hfft(x, n) = n * irfft(conj(x), n) (numpy's identity)."""
+    xp = _xp()
+    a = xp.asarray(a)
+    out = irfft(xp.conj(a), n=n, axis=axis, norm=None)
+    nn = out.shape[axis]
+    sc = float(nn) * _norm_scale(norm, nn, "fwd")
+    return out * sc if sc != 1.0 else out
+
+
+def ihfft(a, n=None, axis=-1, norm=None):
+    """Inverse of hfft: ihfft(x, n) = conj(rfft(x, n)) / n."""
+    xp = _xp()
+    a = xp.asarray(a)
+    out = rfft(a, n=n, axis=axis, norm=None)
+    nn = a.shape[axis] if n is None else n
+    sc = (1.0 / nn) * _norm_scale(norm, nn, "inv")
+    return xp.conj(out) * sc
 
 
 def fftfreq(n, d=1.0):

@@ -19,8 +19,11 @@ The inverse is *native* (reference analog: ifft_split,
 fft_split_native_f32.wat:2124-2190): conjugated tables with 1/n folded into
 the outermost DFT matrix by the plan layer — identical pass count to forward.
 
-All matmuls use precision=HIGHEST so f32 results are computed via multi-pass
-bf16 on the MXU at near-f32 accuracy.
+All matmuls use precision=HIGHEST by default so f32 results are computed
+via multi-pass bf16 on the MXU at near-f32 accuracy. Setting
+WATFFT_MXU_PRECISION=default drops to single-pass bf16 (~1e-3 rel err) —
+the opt-in fast tier for ML workloads (config.MXU_PRECISION, read at trace
+time).
 """
 
 from __future__ import annotations
@@ -31,22 +34,27 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .. import config
 from ..plan import PlanNode, build_tree
 
 __all__ = ["fft_planes", "fft_tables", "apply_tables"]
 
-_PRECISION = jax.lax.Precision.HIGHEST
+
+def _precision():
+    """MXU precision ladder (config.MXU_PRECISION, trace-time)."""
+    return (jax.lax.Precision.DEFAULT if config.MXU_PRECISION == "default"
+            else jax.lax.Precision.HIGHEST)
 
 
 def _cmatmul_last(xre, xim, wre, wim):
     """[..., n] @ [n, m] complex matmul on split planes (4 real MXU matmuls)."""
-    mm = partial(jnp.einsum, "...n,nm->...m", precision=_PRECISION)
+    mm = partial(jnp.einsum, "...n,nm->...m", precision=_precision())
     return (mm(xre, wre) - mm(xim, wim), mm(xre, wim) + mm(xim, wre))
 
 
 def _cmatmul_outer(cre, cim, wre, wim):
     """Contract axis -2 (j1) with W[j1, k1]: D[..., k1, k2] = sum_j C[..., j, k2] W[j, k1]."""
-    mm = partial(jnp.einsum, "...jk,jm->...mk", precision=_PRECISION)
+    mm = partial(jnp.einsum, "...jk,jm->...mk", precision=_precision())
     return (mm(cre, wre) - mm(cim, wim), mm(cre, wim) + mm(cim, wre))
 
 

@@ -352,12 +352,13 @@ def _pick_tile(n: int, b: int) -> int:
     """Lane-tile choice, from the on-chip sweep (docs/EXPERIMENT_LOG.md
     Exp 3/5): small n wants wide tiles (amortize per-grid-step cost), large
     n is VMEM-bound (peak live set ~17 [n, tb] f32 arrays)."""
-    if n <= 64:
-        tb = 2048  # 3D mode; round-2 probe: 37us med vs 56us @1024 at n=64
-    elif n <= 128:
-        tb = 2048  # 3D mode: 43us vs 77us at n=128 (Exp 10)
+    if n <= 16:
+        tb = 1024  # 3D mode; r2 probe (7-rep medians): 43us vs 47us @2048
+    elif n <= 64:
+        tb = 2048  # 3D mode; r2 probe: 37us med vs 56us @1024 at n=64
     elif n <= 256:
-        tb = 1024  # 3D mode: 57us vs 69us at n=256 (Exp 21); 512 prefers 2D
+        tb = 1024  # 3D mode; r2 probe: n=128 64us @1024 vs 69 @2048;
+                   # n=256 72us (Exp 21: 512 prefers 2D)
     elif n <= 512:
         tb = 256
     else:
