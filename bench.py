@@ -92,28 +92,35 @@ def main(full: bool = False) -> None:
             z = jnp.fft.ifft(jnp.fft.fft(a + 1j * bb))
             return z.real, z.imag
 
-        # conservative baseline: best (fastest) of two independent
-        # measurements — run-to-run jitter on the tunnel can be 2-4x and
-        # should never inflate our reported speedup
-        t_base = min(time_chain(jstep, (xre, xim)),
-                     time_chain(jstep, (xre, xim)))
-
+        # Measurement policy (round-2 revision 2): PAIRED INTERLEAVED reps.
+        # The tunnel's jitter band shifts by the HOUR (jnp at n=64 measured
+        # 43us in one run and 120us in the next; ours 37us and 68us), so
+        # sequential blocks of reps for each side can land in different
+        # windows and bias the ratio either way — the r1 "best-of-two
+        # baseline" even collapsed below the physical floor once. Each rep
+        # now measures OURS then JNP back-to-back (~seconds apart, far
+        # inside the drift scale); the reported speedup is the MEDIAN OF
+        # PAIRED RATIOS, which cancels common-mode drift; both times are
+        # clamped to the duplex-HBM floor so neither side can report an
+        # impossible number.
         ours_name = "stockham-pallas"
         try:
             def pstep(c):
                 a, bb = c
                 a, bb = stockham_fft_nb(a, bb, inverse=False)
                 return stockham_fft_nb(a, bb, inverse=True)
-            # median on our side: best-of would cherry-pick jitter in OUR
-            # favor; the baseline keeps best-of-two so jitter can only
-            # shrink the reported speedup. Small/mid n gets more reps (the
-            # tunnel jitter band varies by the hour and is largest relative
-            # to the ~40-70us signal there — Exp 17/20/21; an r2 bench run
-            # recorded n=256 at 136us on 3 reps vs the probe's 70us median).
             reps = 9 if n <= 64 else (5 if n <= 512 else 3)
-            t_ours = sorted(time_chain(pstep, (xre_t, xim_t))
-                            for _ in range(reps))[reps // 2]
-            t_ours = max(t_ours, _roundtrip_floor(xre_t.size))
+            floor = _roundtrip_floor(xre_t.size)
+            ratios, t_os, t_js = [], [], []
+            for _ in range(reps):
+                t_o = max(time_chain(pstep, (xre_t, xim_t)), floor)
+                t_j = max(time_chain(jstep, (xre, xim)), floor)
+                ratios.append(t_j / t_o)
+                t_os.append(t_o)
+                t_js.append(t_j)
+            speedup = sorted(ratios)[reps // 2]
+            t_ours = sorted(t_os)[reps // 2]
+            t_base = sorted(t_js)[reps // 2]
         except Exception as e:
             print(f"  n={n}: pallas failed ({str(e)[:80]}), using fourstep",
                   file=sys.stderr)
@@ -125,9 +132,11 @@ def main(full: bool = False) -> None:
                 a, bb = ctx.forward_planes_fourstep(a, bb)
                 return ctx.inverse_planes_fourstep(a, bb)
             t_ours = time_chain(fstep, (xre, xim))
+            t_base = time_chain(jstep, (xre, xim))
+            speedup = t_base / t_ours
 
         raw_times[n] = t_ours
-        speedups.append(t_base / t_ours)
+        speedups.append(speedup)
         # ops/s counts single transforms: one roundtrip = 2 transforms
         record(f"watfft/{ours_name}/f32/n{n}", t_ours, b)
         record(f"jnp.fft/f32/n{n}", t_base, b)
@@ -159,7 +168,8 @@ def main(full: bool = False) -> None:
                 a, bb = c
                 z = jnp.fft.ifft(jnp.fft.fft(a + 1j * bb))
                 return z.real, z.imag
-            t_jx = min(time_chain(jstep2, (xre, xim)) for _ in range(2))
+            t_jx = sorted(time_chain(jstep2, (xre, xim)) for _ in range(3))[1]
+            t_jx = max(t_jx, _roundtrip_floor(xre.size))
             record(f"watfft/stockham-pallas/f32/n{n}", t_x, b)
             record(f"jnp.fft/f32/n{n}", t_jx, b)
             print(f"  [ext] n={n:<6} ours={2*b/t_x:,.0f}/s jnp={2*b/t_jx:,.0f}/s "
@@ -226,7 +236,8 @@ def main(full: bool = False) -> None:
 
             def jrstep(c):
                 return jnp.fft.irfft(jnp.fft.rfft(c), n=n)
-            t_jr = min(time_chain(jrstep, xr) for _ in range(2))
+            t_jr = sorted(time_chain(jrstep, xr) for _ in range(3))[1]
+            t_jr = max(t_jr, _roundtrip_floor(xr.size) / 2)
             record(f"watfft/rfft-pallas/f32/n{n}", t_r, b)
             record(f"jnp.fft/real/f32/n{n}", t_jr, b)
             print(f"  [real] n={n:<6} ours={2*b/t_r:,.0f}/s "
@@ -303,7 +314,8 @@ def main(full: bool = False) -> None:
                 a, bb = c
                 z = jnp.fft.ifft(jnp.fft.fft(a + 1j * bb))
                 return z.real, z.imag
-            t_j8 = min(time_chain(jstep8, (xre, xim)) for _ in range(2))
+            t_j8 = sorted(time_chain(jstep8, (xre, xim)) for _ in range(3))[1]
+            t_j8 = max(t_j8, _roundtrip_floor(xre.size))
             record(f"watfft/large-nb/f32/n{n}", t_ln, b)
             record(f"jnp.fft/f32/n{n}", t_j8, b)
             print(f"  [large-nb] n={n} b={b}: ours={2*b/t_ln:,.0f}/s "
@@ -344,7 +356,7 @@ def main(full: bool = False) -> None:
         def jstft(c):
             y = jnp.fft.rfft(c)
             return jnp.concatenate([y.real[:, :-1], y.imag[:, :-1]], axis=1)[:, :n]
-        t_js = min(time_chain(jstft, xr) for _ in range(2))
+        t_js = sorted(time_chain(jstft, xr) for _ in range(3))[1]
         print(f"  [stft-4096x1024] ours={b/t_s:,.0f}/s jnp={b/t_js:,.0f}/s "
               f"x{t_js/t_s:.2f}", file=sys.stderr)
         record("watfft/stft-workload/f32/n1024", t_s, b, items=1)
@@ -371,8 +383,8 @@ def main(full: bool = False) -> None:
                 a, bb = c
                 z = jnp.fft.ifft(jnp.fft.fft(a + 1j * bb))
                 return z.real, z.imag
-            t_jl = min(time_chain(jlstep, (xs, ys), r1=16, r2=96)
-                       for _ in range(2))
+            t_jl = sorted(time_chain(jlstep, (xs, ys), r1=16, r2=96)
+                          for _ in range(3))[1]
             print(f"  [large] 2^{log} ours={t_l*1e6:,.0f}us "
                   f"jnp={t_jl*1e6:,.0f}us x{t_jl/t_l:.2f}", file=sys.stderr)
             record(f"watfft/fft-large/f32/n{nn}", t_l, 1)
