@@ -45,6 +45,7 @@ HBM_BW_PER_DIR = 0.819e12
 # Every non-baseline registry surface must appear here (meta-test enforced).
 BENCHED_SURFACES = {
     "stockham-pallas",    # headline sweep
+    "stockham-bf16",      # bf16 interop-tier point
     "dispatch",           # public API (planner) point
     "mxu-dft",            # small-N MXU alternative
     "rfft-pallas",        # real path sweep
@@ -198,6 +199,29 @@ def main(full: bool = False) -> None:
               f"({rel:.2f}x raw kernel time)", file=sys.stderr)
     except Exception as e:
         print(f"  dispatch bench failed: {str(e)[:120]}", file=sys.stderr)
+
+    # ---------------- bf16 interop tier -----------------------------------
+    try:
+        for n in (64, 1024):
+            b = max(128, TOTAL_ELEMS // n)
+            xre_h = jnp.asarray(rng.uniform(-1, 1, (n, b)).astype(np.float32),
+                                jnp.bfloat16)
+            xim_h = jnp.asarray(rng.uniform(-1, 1, (n, b)).astype(np.float32),
+                                jnp.bfloat16)
+
+            def bstep(c):
+                a, bb = c
+                a, bb = stockham_fft_nb(a, bb, inverse=False)
+                return stockham_fft_nb(a, bb, inverse=True)
+            t_b16 = sorted(time_chain(bstep, (xre_h, xim_h))
+                           for _ in range(5))[2]
+            t_b16 = max(t_b16, _roundtrip_floor(xre_h.size) / 2)  # 2-byte planes
+            record(f"watfft/stockham-bf16/bf16/n{n}", t_b16, b)
+            rel = raw_times.get(n)
+            extra = f" ({rel / t_b16:.2f}x the f32 tier)" if rel else ""
+            print(f"  [bf16] n={n}: {2*b/t_b16:,.0f}/s{extra}", file=sys.stderr)
+    except Exception as e:
+        print(f"  bf16 bench failed: {str(e)[:120]}", file=sys.stderr)
 
     # ---------------- small-N MXU alternative -----------------------------
     try:

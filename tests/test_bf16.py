@@ -1,0 +1,47 @@
+"""bf16 fast-tier tests (round-2 Exp 26).
+
+The Stockham kernel accepts bfloat16 planes: HBM traffic halves (the kernel
+is memory-bound), butterflies run in f32 in-kernel, so accuracy is bounded
+by the I/O rounding (~2^-8 relative). jnp.fft has no bf16 complex transform,
+so this tier is validated against the f64 reference DFT directly.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from watfft_tpu.ops.pallas_stockham import stockham_fft_nb
+from watfft_tpu.reference import dft as ref
+
+
+@pytest.mark.parametrize("n", [16, 256, 1024])
+def test_bf16_tier_accuracy(n):
+    rng = ref.seeded_rng(n)
+    b = 128
+    xre = rng.uniform(-1, 1, (n, b)).astype(np.float32)
+    xim = rng.uniform(-1, 1, (n, b)).astype(np.float32)
+    yre, yim = stockham_fft_nb(jnp.asarray(xre, jnp.bfloat16),
+                               jnp.asarray(xim, jnp.bfloat16))
+    assert yre.dtype == jnp.bfloat16
+    got = (np.asarray(yre.astype(jnp.float32))
+           + 1j * np.asarray(yim.astype(jnp.float32)))
+    expected = ref.dft(xre.T + 1j * xim.T).T
+    err = np.max(np.abs(got - expected)) / np.max(np.abs(expected))
+    # input rounding alone is ~2^-8 = 3.9e-3; transform accumulation adds a
+    # small factor on top
+    assert err < 3e-2, err
+
+
+def test_bf16_tier_roundtrip():
+    rng = ref.seeded_rng(7)
+    n, b = 512, 256
+    xre = jnp.asarray(rng.uniform(-1, 1, (n, b)).astype(np.float32),
+                      jnp.bfloat16)
+    xim = jnp.asarray(rng.uniform(-1, 1, (n, b)).astype(np.float32),
+                      jnp.bfloat16)
+    fre, fim = stockham_fft_nb(xre, xim)
+    bre, bim = stockham_fft_nb(fre, fim, inverse=True)
+    d = np.max(np.abs(np.asarray(bre.astype(jnp.float32))
+                      - np.asarray(xre.astype(jnp.float32))))
+    assert d < 5e-2, d

@@ -26,7 +26,7 @@ def test_registry_entries_are_well_formed():
     for e in registry.REGISTRY:
         assert isinstance(e, SurfaceEntry)
         assert e.surface in registry.SURFACES
-        assert e.dtype in ("float32", "float64")
+        assert e.dtype in ("float32", "float64", "bfloat16")
         assert e.min_size <= e.max_size
         assert not (e.flagship and e.baseline), "a baseline cannot be flagship"
         names.add((e.name, e.surface, e.dtype))
@@ -47,7 +47,8 @@ def test_spot_check_every_entry_n64(surface, kind):
     for e in registry.entries(surface, include_baselines=True):
         if not (e.min_size <= n <= e.max_size):
             continue
-        tol = 1e-4 if e.dtype == "float32" else 1e-9
+        tol = {"float32": 1e-4, "float64": 1e-9,
+               "bfloat16": 3e-2}[e.dtype]  # bf16: I/O-rounding tier
         fn = e.make(n)
         if kind == "c2c":
             x = rng.uniform(-1, 1, n) + 1j * rng.uniform(-1, 1, n)

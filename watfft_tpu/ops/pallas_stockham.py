@@ -221,8 +221,14 @@ def run_stages(cre, cim, n, inverse, offsets, stages, twre, twim,
 
 def _kernel(n, inverse, offsets, stages, use3d,
             xre_ref, xim_ref, twre_ref, twim_ref, ore_ref, oim_ref):
-    cre = xre_ref[:]
-    cim = xim_ref[:]
+    # bf16 tier (round-2 Exp 26): planes may be bfloat16 in HBM;
+    # butterflies always run in f32 so only the I/O rounding costs accuracy
+    # (~4e-3). Measured on chip: the in-kernel convert/retile costs roughly
+    # what the halved HBM traffic saves (0.8-1.1x the f32 tier), so this is
+    # an INTEROP tier — bf16-resident pipelines skip their external convert
+    # passes — not a speed tier.
+    cre = xre_ref[:].astype(jnp.float32)
+    cim = xim_ref[:].astype(jnp.float32)
     if use3d:
         # small-n mode (Exp 10): lift lanes into a full (8, w) tiled minor
         # pair so single-row part slices never pad sublanes 8x. Costs one
@@ -235,8 +241,8 @@ def _kernel(n, inverse, offsets, stages, use3d,
     if use3d:
         cre = cre.reshape(n, -1)
         cim = cim.reshape(n, -1)
-    ore_ref[:] = cre
-    oim_ref[:] = cim
+    ore_ref[:] = cre.astype(ore_ref.dtype)
+    oim_ref[:] = cim.astype(oim_ref.dtype)
 
 
 def _kernel_postmul(n, inverse, offsets, stages, use3d,
@@ -409,7 +415,11 @@ def stockham_fft_nb(xre, xim, inverse: bool = False):
     """Batched FFT on time-major planes [n, batch] (batch on lanes).
 
     batch must be a multiple of 128 (pad at the caller). Returns planes in
-    the same layout. f32 only — this is the TPU-native hot path.
-    Differentiable (custom VJP: the conjugate transform).
+    the same layout and dtype. f32 is the accuracy tier; bfloat16 planes
+    are the opt-in interop tier for bf16-resident ML pipelines (fused
+    in-kernel conversion replaces the caller's two convert passes;
+    butterflies still run in f32, so accuracy is I/O-rounding-limited,
+    ~4e-3; standalone speed is ~the f32 tier, Exp 26). Differentiable
+    (custom VJP: the conjugate transform).
     """
     return _stockham_diff(xre, xim, bool(inverse))

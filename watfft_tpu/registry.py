@@ -28,7 +28,7 @@ SURFACES = ("complex-forward", "complex-inverse", "real-forward", "real-inverse"
 class SurfaceEntry:
     name: str          # implementation name
     surface: str       # one of SURFACES
-    dtype: str         # float32 | float64
+    dtype: str         # float32 | float64 | bfloat16 (fast tier)
     min_size: int
     max_size: int
     flagship: bool     # the implementation dispatched by the public API
@@ -166,6 +166,37 @@ def _mk_stockham(direction: str):
             yre, yim = stockham_fft_nb(jnp.asarray(xre), jnp.asarray(xim),
                                        inverse=(direction == "inverse"))
             out = (np.asarray(yre)[:, :b] + 1j * np.asarray(yim)[:, :b]).T
+            return out[0] if squeeze else out
+        return run
+    return make
+
+
+def _mk_stockham_bf16(direction: str):
+    """bf16 interop-tier surface (round-2 Exp 26): planes cross HBM as
+    bfloat16, butterflies run in f32 in-kernel, accuracy is
+    I/O-rounding-limited (~4e-3). For bf16-resident ML pipelines — the
+    fused conversion replaces the caller's convert passes; standalone speed
+    is ~the f32 tier (jnp.fft has no bf16 complex transform at all)."""
+    import jax.numpy as jnp
+    from .ops.pallas_stockham import stockham_fft_nb
+
+    def make(n: int):
+        def run(x):
+            x = np.asarray(x)
+            squeeze = x.ndim == 1
+            x = np.atleast_2d(x).astype(np.complex64)
+            b = x.shape[0]
+            bp = max(128, ((b + 127) // 128) * 128)
+            xre = np.zeros((n, bp), np.float32)
+            xim = np.zeros((n, bp), np.float32)
+            xre[:, :b] = x.real.T
+            xim[:, :b] = x.imag.T
+            yre, yim = stockham_fft_nb(jnp.asarray(xre, jnp.bfloat16),
+                                       jnp.asarray(xim, jnp.bfloat16),
+                                       inverse=(direction == "inverse"))
+            yre = np.asarray(yre.astype(jnp.float32))
+            yim = np.asarray(yim.astype(jnp.float32))
+            out = (yre[:, :b] + 1j * yim[:, :b]).T
             return out[0] if squeeze else out
         return run
     return make
@@ -361,6 +392,12 @@ def _build_registry() -> list[SurfaceEntry]:
             name="stockham-pallas", surface=surface, dtype="float32",
             min_size=2, max_size=16384, flagship=False, baseline=False,
             make=_mk_stockham(direction)))
+    for surface, direction in (("complex-forward", "forward"),
+                               ("complex-inverse", "inverse")):
+        out.append(SurfaceEntry(
+            name="stockham-bf16", surface=surface, dtype="bfloat16",
+            min_size=2, max_size=16384, flagship=False, baseline=False,
+            make=_mk_stockham_bf16(direction)))
     for surface, direction in (("real-forward", "forward"),
                                ("real-inverse", "inverse")):
         out.append(SurfaceEntry(
