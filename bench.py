@@ -320,7 +320,7 @@ def main(full: bool = False) -> None:
     # einsum path lost at 0.75x; large-nb wins 1.18x at 32768, 2.59x at 2^17)
     try:
         from watfft_tpu.ops.large import fft_large_nb
-        for n, b in ((32768, 64), (1 << 17, 16)):
+        for n, b in ((32768, 128), (1 << 17, 128)):  # b=128: fused stage-2 path (Exp 27)
             xre_t = jnp.asarray(rng.uniform(-1, 1, (n, b)).astype(np.float32))
             xim_t = jnp.asarray(rng.uniform(-1, 1, (n, b)).astype(np.float32))
 

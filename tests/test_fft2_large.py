@@ -95,8 +95,10 @@ def test_tiled_twiddle_cache_matches_repeat():
     assert np.array_equal(tim, np.repeat(twim, b, axis=1))
 
 
-@pytest.mark.parametrize("batch", [1, 2])
+@pytest.mark.parametrize("batch", [1, 2, 128])
 def test_fft_large_nb_matches_fftpack(batch):
+    # batch=128 exercises the FUSED second-stage path (Exp 27); smaller
+    # batches the tiled-pm + XLA-transpose path
     from watfft_tpu.ops.large import fft_large_nb
     n = 1 << 14
     rng = ref.seeded_rng(batch)

@@ -26,7 +26,13 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .pallas_stockham import stockham_fft_nb, stockham_fft_nb_postmul
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .. import config
+from .pallas_stockham import (stockham_fft_nb, stockham_fft_nb_postmul,
+                              stage_plan, make_twiddle_pack, run_stages,
+                              _TwCache as _StageTwCache)
 
 __all__ = ["fft_large", "fft_large_nb", "large_split"]
 
@@ -116,6 +122,78 @@ def _fft_large_nb(xre, xim, twre, twim, n1, n2, inverse):
     return dre.reshape(n1 * n2, b), dim.reshape(n1 * n2, b)
 
 
+def _stage2_kernel(n1, inverse, offsets, stages,
+                   cre_ref, cim_ref, pmre_ref, pmim_ref, twre_ref, twim_ref,
+                   ore_ref, oim_ref):
+    """Fused second four-step stage (round-2 Exp 27): four-step twiddle
+    multiply + the [k2, j1] -> [j1, k2] transpose + the n1-point Stockham
+    chain, all in one kernel. The transpose is an in-VMEM swapaxes(0, 1) on
+    the 3D block (lane dim untouched — verified lowerable on chip); the
+    twiddle block T[k2-tile, n1] has a FULL last dim so it satisfies the
+    Mosaic block-shape rule that killed the earlier broadcast design."""
+    cre = cre_ref[:]                       # [tbk, n1, tbs]
+    cim = cim_ref[:]
+    pre = pmre_ref[:][:, :, None]          # [tbk, n1, 1] -> lane broadcast
+    pim = pmim_ref[:][:, :, None]
+    tre = cre * pre - cim * pim
+    tim = cre * pim + cim * pre
+    tre = jnp.swapaxes(tre, 0, 1)          # [n1, tbk, tbs]
+    tim = jnp.swapaxes(tim, 0, 1)
+    tbk, tbs = cre.shape[0], cre.shape[2]
+    tre = tre.reshape(n1, tbk * tbs)
+    tim = tim.reshape(n1, tbk * tbs)
+    tre, tim = run_stages(tre, tim, n1, inverse, offsets, stages,
+                          twre_ref[:], twim_ref[:])
+    ore_ref[:] = tre.reshape(n1, tbk, tbs)
+    oim_ref[:] = tim.reshape(n1, tbk, tbs)
+
+
+@functools.partial(jax.jit, static_argnames=("n1", "n2", "inverse", "tbk",
+                                             "tbs", "interpret"))
+def _stage2_call(cre, cim, pmre, pmim, twre, twim, n1, n2, inverse, tbk, tbs,
+                 interpret=False):
+    b = cre.shape[-1]                      # cre: [n2, n1, b]
+    stages = tuple(stage_plan(n1))
+    offsets = make_twiddle_pack(n1, inverse)[2]
+    kernel = functools.partial(_stage2_kernel, n1, inverse, offsets, stages)
+    grid = (n2 // tbk, b // tbs)
+    cspec = pl.BlockSpec((tbk, n1, tbs), lambda i, j: (i, 0, j),
+                         memory_space=pltpu.VMEM)
+    pmspec = pl.BlockSpec((tbk, n1), lambda i, j: (i, 0),
+                          memory_space=pltpu.VMEM)
+    twspec = pl.BlockSpec(twre.shape, lambda i, j: (0, 0),
+                          memory_space=pltpu.VMEM)
+    ospec = pl.BlockSpec((n1, tbk, tbs), lambda i, j: (0, i, j),
+                         memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((n1, n2, b), cre.dtype)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[cspec, cspec, pmspec, pmspec, twspec, twspec],
+        out_specs=[ospec, ospec],
+        out_shape=[out_shape, out_shape],
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=config.VMEM_LIMIT_BYTES),
+        interpret=interpret,
+    )(cre, cim, pmre, pmim, twre, twim)
+
+
+@functools.partial(jax.jit, static_argnames=("n1", "n2", "inverse", "tbk",
+                                             "interpret"))
+def _fft_large_nb_fused(xre, xim, pmre, pmim, s2re, s2im, n1, n2, inverse,
+                        tbk, interpret):
+    # kernel 1: plain Stockham over j2 — NO twiddle, NO pm read (the
+    # four-step multiply moved into kernel 2's load)
+    b = xre.shape[-1]
+    cre, cim = stockham_fft_nb(xre.reshape(n2, n1 * b),
+                               xim.reshape(n2, n1 * b), inverse=inverse)
+    # free 3D view (same layout), then the fused kernel 2
+    dre, dim = _stage2_call(cre.reshape(n2, n1, b), cim.reshape(n2, n1, b),
+                            pmre, pmim, s2re, s2im, n1, n2, inverse,
+                            tbk, 128, interpret)
+    return dre.reshape(n1 * n2, b), dim.reshape(n1 * n2, b)
+
+
 def fft_large_nb(xre, xim, inverse: bool = False):
     """Batched large-N FFT on time-major planes [N, batch] (f32).
 
@@ -137,6 +215,18 @@ def fft_large_nb(xre, xim, inverse: bool = False):
         raise ValueError(
             f"fft_large_nb batch must be a power of two (got {b}); pad the "
             f"batch axis at the caller")
+    interpret = config.FORCE_INTERPRET or jax.default_backend() != "tpu"
+    if b % 128 == 0:
+        # fused path (Exp 27): plain kernel 1, then twiddle + transpose +
+        # outer FFT fused into kernel 2 — 8 HBM plane-passes total (the
+        # four-step floor) vs 14 for the XLA-transpose path below
+        pmre, pmim = _TwCache.get(n, n1, n2, inverse)
+        s2re, s2im = _StageTwCache.get(n1, inverse)
+        tbk = 8  # k2-rows per block: 8 * 128 lanes = 1024 merged columns
+        return _fft_large_nb_fused(xre, xim, jnp.asarray(pmre),
+                                   jnp.asarray(pmim), jnp.asarray(s2re),
+                                   jnp.asarray(s2im), n1, n2, inverse, tbk,
+                                   interpret)
     twre, twim = _TwCacheTiled.get(n, n1, n2, b, inverse)
     return _fft_large_nb(xre, xim, twre, twim, n1, n2, inverse)
 
