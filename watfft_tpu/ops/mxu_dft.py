@@ -37,7 +37,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .. import config
 
-__all__ = ["dft_matmul_nb", "dft_matrix_real"]
+__all__ = ["dft_matmul_nb"]
 
 
 def dft_matrix_real(n: int, inverse: bool) -> np.ndarray:

@@ -309,6 +309,46 @@ def stockham_fft_nb_postmul(xre, xim, pmre, pmim, inverse: bool = False):
                                   inverse, tile_b, interpret=interpret)
 
 
+def _kernel_dma3d(n, inverse, offsets, stages,
+                  xre_ref, xim_ref, twre_ref, twim_ref, ore_ref, oim_ref):
+    """3D-block variant (Exp 28): the block arrives as [n, 8, w] straight
+    from the DMA (host view [n, 8, b/8]), so the small-n mode's VMEM
+    relayout pass disappears entirely."""
+    cre = xre_ref[:].astype(jnp.float32)
+    cim = xim_ref[:].astype(jnp.float32)
+    cre, cim = run_stages(cre, cim, n, inverse, offsets, stages,
+                          twre_ref[:], twim_ref[:])
+    ore_ref[:] = cre.astype(ore_ref.dtype)
+    oim_ref[:] = cim.astype(oim_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("n", "inverse", "w_tile",
+                                             "interpret"))
+def _stockham_call_dma3d(xre, xim, twre, twim, n, inverse, w_tile,
+                         interpret=False):
+    # xre: [n, 8, W] (host view of [n, b], W = b/8)
+    W = xre.shape[-1]
+    stages = tuple(stage_plan(n))
+    offsets = make_twiddle_pack(n, inverse)[2]
+    kernel = functools.partial(_kernel_dma3d, n, inverse, offsets, stages)
+    grid = (W // w_tile,)
+    block = pl.BlockSpec((n, 8, w_tile), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM)
+    twspec = pl.BlockSpec(twre.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((n, 8, W), xre.dtype)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[block, block, twspec, twspec],
+        out_specs=[block, block],
+        out_shape=[out_shape, out_shape],
+        input_output_aliases={0: 0, 1: 1},
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=config.VMEM_LIMIT_BYTES),
+        interpret=interpret,
+    )(xre, xim, twre, twim)
+
+
 @functools.partial(jax.jit, static_argnames=("n", "inverse", "tile_b", "interpret"))
 def _stockham_call(xre, xim, twre, twim, n, inverse, tile_b, interpret=False):
     b = xre.shape[-1]
@@ -379,10 +419,20 @@ def _stockham_impl(xre, xim, inverse: bool):
     if b % 128 != 0:
         raise ValueError(f"batch (last axis) must be a multiple of 128, got {b}")
     twre, twim = _TwCache.get(n, inverse)
+    interpret = config.FORCE_INTERPRET or jax.default_backend() != "tpu"
+    # DMA-3D mode (Exp 28): for tiny n the lane->sublane relayout rides the
+    # HBM->VMEM DMA (3D host view + 3D blocks) instead of a VPU pass —
+    # n=16 roundtrip 45 -> 27us on chip. Needs full (8, 256)-tiled blocks.
+    w_tile = 256
+    if n <= config.DMA3D_MAX_N and b % (8 * w_tile) == 0:
+        a = xre.reshape(n, 8, b // 8)
+        c = xim.reshape(n, 8, b // 8)
+        ore, oim = _stockham_call_dma3d(a, c, twre, twim, n, inverse, w_tile,
+                                        interpret=interpret)
+        return ore.reshape(n, b), oim.reshape(n, b)
     tile_b = _pick_tile(n, b)
     if b % tile_b != 0:
         tile_b = 128
-    interpret = config.FORCE_INTERPRET or jax.default_backend() != "tpu"
     return _stockham_call(xre, xim, twre, twim, n, inverse, tile_b,
                           interpret=interpret)
 
