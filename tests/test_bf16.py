@@ -1,4 +1,5 @@
-"""bf16 fast-tier tests (round-2 Exp 26).
+"""Kernel I/O-tier tests: bf16 interop tier (Exp 26) and the native
+sublane-folded 3D layout (Exp 28).
 
 The Stockham kernel accepts bfloat16 planes: HBM traffic halves (the kernel
 is memory-bound), butterflies run in f32 in-kernel, so accuracy is bounded
@@ -45,3 +46,34 @@ def test_bf16_tier_roundtrip():
     d = np.max(np.abs(np.asarray(bre.astype(jnp.float32))
                       - np.asarray(xre.astype(jnp.float32))))
     assert d < 5e-2, d
+
+
+# -- native sublane-folded 3D layout (Exp 28) -------------------------------
+
+@pytest.mark.parametrize("n", [16, 64])
+def test_native_3d_layout_matches_2d(n):
+    rng = ref.seeded_rng(n + 1)
+    b = 1024
+    xre = rng.uniform(-1, 1, (n, b)).astype(np.float32)
+    xim = rng.uniform(-1, 1, (n, b)).astype(np.float32)
+    y2re, y2im = stockham_fft_nb(jnp.asarray(xre), jnp.asarray(xim))
+    a3 = jnp.asarray(xre.reshape(n, 8, b // 8))
+    c3 = jnp.asarray(xim.reshape(n, 8, b // 8))
+    y3re, y3im = stockham_fft_nb(a3, c3)
+    assert y3re.shape == (n, 8, b // 8)
+    assert np.array_equal(np.asarray(y3re).reshape(n, b), np.asarray(y2re))
+    assert np.array_equal(np.asarray(y3im).reshape(n, b), np.asarray(y2im))
+    bre, bim = stockham_fft_nb(y3re, y3im, inverse=True)
+    assert np.max(np.abs(np.asarray(bre) - np.asarray(a3))) < 1e-5
+
+
+def test_native_3d_layout_rejects_bad_shapes():
+    with pytest.raises(ValueError):
+        stockham_fft_nb(np.zeros((16, 4, 256), np.float32),
+                        np.zeros((16, 4, 256), np.float32))
+    with pytest.raises(ValueError):  # n beyond the 3D cap
+        stockham_fft_nb(np.zeros((4096, 8, 256), np.float32),
+                        np.zeros((4096, 8, 256), np.float32))
+    with pytest.raises(ValueError):  # W not lane-aligned
+        stockham_fft_nb(np.zeros((16, 8, 100), np.float32),
+                        np.zeros((16, 8, 100), np.float32))

@@ -38,10 +38,11 @@ VMEM_LIMIT_BYTES = _int_env("WATFFT_VMEM_LIMIT_MB", 100) * 1024 * 1024
 # Read at trace time: set before creating contexts / first call per shape.
 MXU_PRECISION = os.environ.get("WATFFT_MXU_PRECISION", "highest")
 USE3D_MAX_N = _int_env("WATFFT_USE3D_MAX_N", 256)  # Exp 21: 256@tile1024 69->57us
-# largest n using DMA-delivered 3D blocks (host [n, 8, b/8] view + 3D block
-# specs: the lane->sublane relayout rides the HBM->VMEM DMA instead of a
-# VPU pass — Exp 28: n=16 45->27us; neutral at n>=64)
-DMA3D_MAX_N = _int_env("WATFFT_DMA3D_MAX_N", 32)
+# largest n accepting the native sublane-folded [n, 8, W] plane layout
+# (3D block specs: the lane->sublane relayout rides the HBM->VMEM DMA, and
+# chained calls skip the 2D<->3D boundary relayout — Exp 28: pure-3D
+# roundtrips 24.5/36.5/37us at n=16/32/64 vs 55-68us through 2D)
+DMA3D_MAX_N = _int_env("WATFFT_DMA3D_MAX_N", 64)
 DIRECT_MAX = _int_env("WATFFT_DIRECT_MAX", 128)
 # 16384 = largest n whose ~17-plane VMEM live set still compiles at tile 128
 # (Exp 20: 8192 beats jnp 2.31x and the four-step 2.6x; 16384 wins 1.39x)

@@ -415,21 +415,33 @@ def _pick_tile(n: int, b: int) -> int:
 
 
 def _stockham_impl(xre, xim, inverse: bool):
+    interpret = config.FORCE_INTERPRET or jax.default_backend() != "tpu"
+    if xre.ndim == 3:
+        # NATIVE SUBLANE-FOLDED layout [n, 8, W] (Exp 28): the 3D block
+        # specs let the HBM->VMEM DMA perform the lane->sublane
+        # redistribution, and chained calls never pay a 2D<->3D boundary
+        # relayout (XLA materializes that reshape as a real pass between
+        # custom calls — measured ~30us per roundtrip at 2^21 elems).
+        # Pure-3D roundtrips: n=16 24.5us, n=64 37us vs 55-68us through
+        # the 2D contract. A host [n, b] array reshapes to this for free.
+        n, s, w = xre.shape
+        if s != 8:
+            raise ValueError(
+                f"3D planes must be [n, 8, W] (sublane-folded), got {xre.shape}")
+        if n > config.DMA3D_MAX_N:
+            raise ValueError(
+                f"3D planes supported for n <= {config.DMA3D_MAX_N}, got {n}; "
+                f"use 2D [n, batch] planes")
+        if w % 128 != 0:
+            raise ValueError(f"W (last axis) must be a multiple of 128, got {w}")
+        w_tile = 256 if w % 256 == 0 else 128
+        twre, twim = _TwCache.get(n, inverse)
+        return _stockham_call_dma3d(xre, xim, twre, twim, n, inverse, w_tile,
+                                    interpret=interpret)
     n, b = xre.shape[-2], xre.shape[-1]
     if b % 128 != 0:
         raise ValueError(f"batch (last axis) must be a multiple of 128, got {b}")
     twre, twim = _TwCache.get(n, inverse)
-    interpret = config.FORCE_INTERPRET or jax.default_backend() != "tpu"
-    # DMA-3D mode (Exp 28): for tiny n the lane->sublane relayout rides the
-    # HBM->VMEM DMA (3D host view + 3D blocks) instead of a VPU pass —
-    # n=16 roundtrip 45 -> 27us on chip. Needs full (8, 256)-tiled blocks.
-    w_tile = 256
-    if n <= config.DMA3D_MAX_N and b % (8 * w_tile) == 0:
-        a = xre.reshape(n, 8, b // 8)
-        c = xim.reshape(n, 8, b // 8)
-        ore, oim = _stockham_call_dma3d(a, c, twre, twim, n, inverse, w_tile,
-                                        interpret=interpret)
-        return ore.reshape(n, b), oim.reshape(n, b)
     tile_b = _pick_tile(n, b)
     if b % tile_b != 0:
         tile_b = 128
@@ -452,7 +464,8 @@ def _stockham_diff_bwd(inverse, _, g):
     # (our inverse is normalized). This makes the Pallas path differentiable
     # — pallas_call has no autodiff rule of its own.
     gre, gim = g
-    n = gre.shape[-2]
+    # n is axis 0 in both plane layouts: 2D [n, batch] and 3D [n, 8, W]
+    n = gre.shape[0]
     ore, oim = _stockham_impl(gre, gim, not inverse)
     s = jnp.asarray(1.0 / n if inverse else float(n), ore.dtype)
     return ore * s, oim * s
@@ -462,14 +475,17 @@ _stockham_diff.defvjp(_stockham_diff_fwd, _stockham_diff_bwd)
 
 
 def stockham_fft_nb(xre, xim, inverse: bool = False):
-    """Batched FFT on time-major planes [n, batch] (batch on lanes).
+    """Batched FFT on time-major planes: 2D [n, batch] (batch on lanes), or
+    the NATIVE SUBLANE-FOLDED 3D layout [n, 8, batch//8] for n <= 64 (a
+    free host reshape of the same data; chained small-n workloads run
+    ~1.8x faster in it because no 2D<->3D boundary relayout is ever paid —
+    Exp 28). Returns planes in the same layout and dtype.
 
-    batch must be a multiple of 128 (pad at the caller). Returns planes in
-    the same layout and dtype. f32 is the accuracy tier; bfloat16 planes
-    are the opt-in interop tier for bf16-resident ML pipelines (fused
-    in-kernel conversion replaces the caller's two convert passes;
-    butterflies still run in f32, so accuracy is I/O-rounding-limited,
-    ~4e-3; standalone speed is ~the f32 tier, Exp 26). Differentiable
-    (custom VJP: the conjugate transform).
+    batch (or W) must be a multiple of 128 (pad at the caller). f32 is the
+    accuracy tier; bfloat16 planes are the opt-in interop tier for
+    bf16-resident ML pipelines (fused in-kernel conversion replaces the
+    caller's two convert passes; butterflies still run in f32, so accuracy
+    is I/O-rounding-limited, ~4e-3; standalone speed is ~the f32 tier,
+    Exp 26). Differentiable (custom VJP: the conjugate transform).
     """
     return _stockham_diff(xre, xim, bool(inverse))
