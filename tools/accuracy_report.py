@@ -20,10 +20,37 @@ def main():
     ap.add_argument("--sizes", default="16,64,256,1024,4096")
     ap.add_argument("--dtype", default=None, choices=[None, "float32", "float64"])
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    ap.add_argument("--no-header", action="store_true")
     args = ap.parse_args()
 
+    if args.dtype is None:
+        # x64 is a global, pre-initialization switch: float64 contexts
+        # require it, while f32 TPU compiles break under it (weak-typed
+        # scalars become f64 and the axon backend rejects them). Run each
+        # dtype in its own subprocess.
+        import subprocess
+        for i, dt in enumerate(("float32", "float64")):
+            cmd = [sys.executable, os.path.abspath(__file__),
+                   "--sizes", args.sizes, "--dtype", dt]
+            if args.cpu:
+                cmd.append("--cpu")
+            if i:
+                cmd.append("--no-header")
+            rc = subprocess.run(cmd).returncode
+            if rc:
+                sys.exit(rc)
+        return
+
+    import jax
     if args.cpu:
-        import jax
+        jax.config.update("jax_platforms", "cpu")
+    if args.dtype == "float64":
+        # f64 contexts live on the CPU device regardless of backend, and
+        # global x64 breaks TPU Pallas lowering (verified on chip: the df
+        # kernel fails to legalize under x64 — index types become i64), so
+        # the f64 sweep runs on the CPU backend. On-chip df accuracy is
+        # separately pinned by tests/test_doublefloat + EXPERIMENT_LOG
+        # Exp 16 (4.5e-15..1.9e-14 at n=16..4096).
         jax.config.update("jax_platforms", "cpu")
         jax.config.update("jax_enable_x64", True)
 
@@ -33,8 +60,9 @@ def main():
     sizes = [int(s) for s in args.sizes.split(",")]
     dtypes = [args.dtype] if args.dtype else ["float32", "float64"]
 
-    print(f"{'surface':<18} {'impl':<16} {'dtype':<8} {'n':>6} "
-          f"{'max_rel':>10} {'rms_rel':>10} {'quality':>8}")
+    if not args.no_header:
+        print(f"{'surface':<18} {'impl':<16} {'dtype':<8} {'n':>6} "
+              f"{'max_rel':>10} {'rms_rel':>10} {'quality':>8}")
     for surface, kind, inverse in (
         ("complex-forward", "c2c", False),
         ("complex-inverse", "c2c", True),
