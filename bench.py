@@ -89,7 +89,7 @@ def main(full: bool = False) -> None:
         xim = jnp.asarray(host_im)
         tre = np.ascontiguousarray(host_re.T)
         tim = np.ascontiguousarray(host_im.T)
-        if n <= 64:
+        if n <= 256:
             # native sublane-folded layout [n, 8, b/8] (free host reshape;
             # Exp 28 — chained small-n calls skip the 2D<->3D boundary
             # relayout): the kernel rank-dispatches on it

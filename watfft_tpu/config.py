@@ -41,8 +41,9 @@ USE3D_MAX_N = _int_env("WATFFT_USE3D_MAX_N", 256)  # Exp 21: 256@tile1024 69->57
 # largest n accepting the native sublane-folded [n, 8, W] plane layout
 # (3D block specs: the lane->sublane relayout rides the HBM->VMEM DMA, and
 # chained calls skip the 2D<->3D boundary relayout — Exp 28: pure-3D
-# roundtrips 24.5/36.5/37us at n=16/32/64 vs 55-68us through 2D)
-DMA3D_MAX_N = _int_env("WATFFT_DMA3D_MAX_N", 64)
+# roundtrips 24.5/36.5/37/35.7/46.5us at n=16/32/64/128/256 vs 55-77us
+# through 2D)
+DMA3D_MAX_N = _int_env("WATFFT_DMA3D_MAX_N", 256)
 DIRECT_MAX = _int_env("WATFFT_DIRECT_MAX", 128)
 # 16384 = largest n whose ~17-plane VMEM live set still compiles at tile 128
 # (Exp 20: 8192 beats jnp 2.31x and the four-step 2.6x; 16384 wins 1.39x)

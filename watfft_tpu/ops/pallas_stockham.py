@@ -434,7 +434,9 @@ def _stockham_impl(xre, xim, inverse: bool):
                 f"use 2D [n, batch] planes")
         if w % 128 != 0:
             raise ValueError(f"W (last axis) must be a multiple of 128, got {w}")
-        w_tile = 256 if w % 256 == 0 else 128
+        # Exp 28 probe: n<=128 prefers w_tile 256 (35.7 vs 37.2us at 128);
+        # n=256 prefers 128 (46.5 vs 52.0us)
+        w_tile = 256 if (n <= 128 and w % 256 == 0) else 128
         twre, twim = _TwCache.get(n, inverse)
         return _stockham_call_dma3d(xre, xim, twre, twim, n, inverse, w_tile,
                                     interpret=interpret)
