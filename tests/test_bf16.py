@@ -50,7 +50,7 @@ def test_bf16_tier_roundtrip():
 
 # -- native sublane-folded 3D layout (Exp 28) -------------------------------
 
-@pytest.mark.parametrize("n", [16, 64])
+@pytest.mark.parametrize("n", [16, 64, 128, 256])
 def test_native_3d_layout_matches_2d(n):
     rng = ref.seeded_rng(n + 1)
     b = 1024
