@@ -40,6 +40,9 @@ def test_decision_table_pallas(interpret_mode):
     # (round-2 Exp 22 — the XLA einsum path lost to jnp at 32768)
     assert planner.c2c_kernel(32768, "float32") == "large-nb"
     assert planner.c2c_kernel(1 << 20, "float32") == "large-nb"
+    # beyond 2^20 the fused stage-2 kernel's VMEM live set cannot compile
+    # (ADVICE r2): those sizes fall back to the XLA four-step
+    assert planner.c2c_kernel(1 << 21, "float32") == "fourstep"
     assert planner.c2c_kernel(1024, "float64") == "fourstep"   # f64 tier is separate
     assert planner.r2c_kernel(1024, "float32") == "rfft-pallas"
     assert planner.r2c_kernel(4, "float32") == "fourstep"      # below kernel range

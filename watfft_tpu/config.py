@@ -48,6 +48,11 @@ DIRECT_MAX = _int_env("WATFFT_DIRECT_MAX", 128)
 # 16384 = largest n whose ~17-plane VMEM live set still compiles at tile 128
 # (Exp 20: 8192 beats jnp 2.31x and the four-step 2.6x; 16384 wins 1.39x)
 STOCKHAM_MAX_N = _int_env("WATFFT_STOCKHAM_MAX_N", 16384)
+# largest n the planner sends to the batched four-step (fused stage-2): at
+# n=2^21 the split is n1=2048 and the stage-2 kernel's ~17 [n1, 1024] f32
+# live planes (~143MB) exceed the VMEM limit — beyond this the XLA four-step
+# path takes over (ADVICE r2 planner cap)
+LARGE_NB_MAX_N = _int_env("WATFFT_LARGE_NB_MAX_N", 1 << 20)
 RFFT_PALLAS_MAX_N = _int_env("WATFFT_RFFT_MAX_N", 16384)  # m=8192 core, Exp 20
 FORCE_INTERPRET = os.environ.get("WATFFT_INTERPRET", "") not in ("", "0", "false")
 

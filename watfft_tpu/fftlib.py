@@ -103,6 +103,12 @@ def irfft(a, n=None, axis=-1, norm=None):
     xp = _xp()
     a = xp.asarray(a)
     if n is not None:
+        # numpy's odd-n irfft USES the last bin's imaginary part (no Nyquist
+        # bin); our packed kernel layout is even/pow2-only, so an odd n would
+        # silently diverge from numpy instead of erroring (ADVICE r2).
+        if n % 2:
+            raise ValueError(
+                f"irfft output length must be even (power of two), got n={n}")
         m = n // 2 + 1
         a, _ = _fix_len(xp, a, m, axis)
     moved = xp.moveaxis(a, axis, -1)

@@ -81,18 +81,26 @@ def _fft_large(xre, xim, twre, twim, n1, n2, inverse):
 
 class _TwCacheTiled:
     """Host cache of the four-step twiddle repeated across a small in-column
-    batch: [n2, n1] -> [n2, n1*b] with each column repeated b times."""
+    batch: [n2, n1] -> [n2, n1*b] with each column repeated b times.
 
-    _c: dict = {}
+    Bounded to the most recent key (ADVICE r2): a tiled pack at n=2^20,
+    b=64 is two ~256MB arrays, so an unbounded dict would pin every shape
+    ever used. The sub-128-batch path that needs this is rare (the fused
+    path's b % 128 == 0 covers the bench/API shapes), so a 1-entry cache
+    keeps the steady-state case fast without the permanent footprint."""
+
+    _key = None
+    _val = None
 
     @classmethod
     def get(cls, n, n1, n2, b, inverse):
         key = (n, n1, b, inverse)
-        if key not in cls._c:
+        if key != cls._key:
             twre, twim = _TwCache.get(n, n1, n2, inverse)
-            cls._c[key] = (np.repeat(twre, b, axis=1),
-                           np.repeat(twim, b, axis=1))
-        return cls._c[key]
+            cls._val = (np.repeat(twre, b, axis=1),
+                        np.repeat(twim, b, axis=1))
+            cls._key = key
+        return cls._val
 
 
 @functools.partial(jax.jit, static_argnames=("n1", "n2", "inverse"))

@@ -54,7 +54,11 @@ def c2c_kernel(n: int, dtype: str) -> str:
     if dtype == "float32" and pallas_available() and is_power_of_two(n):
         if 2 <= n <= config.STOCKHAM_MAX_N:
             return "stockham"
-        if n >= 1 << 14:
+        # Upper bound matches the registry's large-nb domain: beyond 2^20 the
+        # fused stage-2 kernel's VMEM live set (~17 [n1, tile] f32 planes at
+        # n1=2048) exceeds VMEM_LIMIT_BYTES and would fail to compile
+        # (ADVICE r2); those sizes take the XLA four-step instead.
+        if (1 << 14) <= n <= config.LARGE_NB_MAX_N:
             return "large-nb"
     return "fourstep"
 
