@@ -5,12 +5,22 @@ Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
 value = geometric-mean speedup of the flagship kernel over jnp.fft across
-the BASELINE.json N sweep (N=16-4096). Timing = seconds per forward+inverse
-roundtrip measured as the SLOPE between two lax.fori_loop chain lengths
-(cancels the axon tunnel's ~28 ms fixed dispatch/sync overhead; see
-watfft_tpu/bench/harness.py:time_chain). Each side runs in its preferred
-layout with split-plane I/O: ours time-major [n, batch] (batch on lanes),
-jnp.fft batch-major [batch, n].
+ALL NINE powers of the BASELINE.json N sweep (N=16..4096, matching the
+reference's per-size table README.md:17-25). Timing = seconds per
+forward+inverse roundtrip measured as the SLOPE between two lax.fori_loop
+chain lengths (cancels the axon tunnel's ~28 ms fixed dispatch/sync
+overhead; see watfft_tpu/bench/harness.py:time_chain). Each side runs in
+its preferred layout with split-plane I/O: ours time-major [n, batch]
+(batch on lanes), jnp.fft batch-major [batch, n].
+
+Clamp policy (round-3, ADVICE r2): only OUR times are clamped up to the
+duplex-HBM floor (anti-cheat — a Pallas kernel cannot move data faster
+than the pins); jnp baseline times are reported RAW, because pure-XLA
+fori chains can legitimately beat HBM rooflines via VMEM-resident carries
+(Exp 17) — clamping the baseline UP would inflate our speedups. Every
+timed row carries eff_gbps (bytes-moved / time, duplex-counted) in the
+results JSON so each number is auditable against physics; rows within
+1.2x of the clamp are flagged on stderr.
 
 The DEFAULT mode also benches one representative point for EVERY
 non-baseline registry surface (BENCHED_SURFACES below; enforced by
@@ -32,7 +42,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 
-SIZES = [16, 64, 256, 1024, 2048, 4096]
+SIZES = [16, 32, 64, 128, 256, 512, 1024, 2048, 4096]
 TOTAL_ELEMS = 1 << 21
 # Physical-floor clamp bandwidth. Exp 17 used the 819 GB/s datasheet figure
 # per direction, but Exp 28's DMA-3D kernel SUSTAINS 27.9us for a roundtrip
@@ -68,16 +78,24 @@ def main(full: bool = False) -> None:
     import jax.numpy as jnp
     from watfft_tpu.api import FFTContext, RFFTContext
     from watfft_tpu.ops.pallas_stockham import stockham_fft_nb
-    from watfft_tpu.bench.harness import save_results, BenchResult, time_chain
+    from watfft_tpu.bench.harness import (save_results, BenchResult,
+                                          time_chain, run_benchmark)
 
     rng = np.random.default_rng(12345)
     results = []
     speedups = []
 
-    def record(name, t, b, items=2):
+    def record(name, t, b, items=2, nbytes=0):
+        """nbytes: duplex-counted HBM traffic model for the timed step (the
+        same accounting as _roundtrip_floor: simultaneous read+write is ONE
+        pass), so eff_gbps is directly auditable against HBM_BW_PER_DIR."""
+        eff = (nbytes / t / 1e9) if nbytes else 0.0
         results.append(BenchResult(name=name, ops_per_sec=items * b / t,
                                    cv=0.0, batch=b, items_per_call=items * b,
-                                   samples=[]))
+                                   samples=[], eff_gbps=round(eff, 1)))
+        if nbytes and eff > HBM_BW_PER_DIR / 1e9 / 1.2:
+            print(f"  !! {name}: eff {eff:,.0f} GB/s is within 1.2x of the "
+                  f"{HBM_BW_PER_DIR/1e9:,.0f} GB/s clamp", file=sys.stderr)
 
     # ---------------- headline sweep: flagship kernel vs jnp.fft ----------
     raw_times = {}
@@ -111,9 +129,10 @@ def main(full: bool = False) -> None:
         # baseline" even collapsed below the physical floor once. Each rep
         # now measures OURS then JNP back-to-back (~seconds apart, far
         # inside the drift scale); the reported speedup is the MEDIAN OF
-        # PAIRED RATIOS, which cancels common-mode drift; both times are
-        # clamped to the duplex-HBM floor so neither side can report an
-        # impossible number.
+        # PAIRED RATIOS, which cancels common-mode drift. Round-3 clamp
+        # policy (ADVICE r2): only OUR side is clamped up to the duplex-HBM
+        # floor — a sub-floor baseline is a real VMEM-resident-carry effect,
+        # and clamping it UP could only inflate our speedups.
         ours_name = "stockham-pallas"
         try:
             def pstep(c):
@@ -125,7 +144,7 @@ def main(full: bool = False) -> None:
             ratios, t_os, t_js = [], [], []
             for _ in range(reps):
                 t_o = max(time_chain(pstep, (xre_t, xim_t)), floor)
-                t_j = max(time_chain(jstep, (xre, xim)), floor)
+                t_j = time_chain(jstep, (xre, xim))
                 ratios.append(t_j / t_o)
                 t_os.append(t_o)
                 t_js.append(t_j)
@@ -148,30 +167,42 @@ def main(full: bool = False) -> None:
 
         raw_times[n] = t_ours
         speedups.append(speedup)
-        # ops/s counts single transforms: one roundtrip = 2 transforms
-        record(f"watfft/{ours_name}/f32/n{n}", t_ours, b)
-        record(f"jnp.fft/f32/n{n}", t_base, b)
+        # ops/s counts single transforms: one roundtrip = 2 transforms;
+        # traffic model: complex roundtrip = 4 duplex plane-passes
+        nbytes = 16 * n * b
+        record(f"watfft/{ours_name}/f32/n{n}", t_ours, b, nbytes=nbytes)
+        record(f"jnp.fft/f32/n{n}", t_base, b, nbytes=nbytes)
         print(f"  n={n:<6} ours({ours_name})={2*b/t_ours:,.0f}/s  "
               f"jnp={2*b/t_base:,.0f}/s  x{speedups[-1]:.2f}", file=sys.stderr)
 
     geomean = math.exp(sum(map(math.log, speedups)) / len(speedups))
 
     # ---------------- extended kernel sizes (beyond the BASELINE sweep) ---
-    # Exp 20: the Stockham kernel now runs to n=16384 (the reference split
-    # module's own max, wat-surfaces.mjs:83); not in the geomean so the
-    # headline stays comparable to BASELINE.json's N=16-4096 definition.
-    for n in (8192, 16384):
+    # The former 8192-32768 "crossover valley" (VERDICT r2 Missing #2):
+    # each size runs through whatever the PLANNER dispatches (so the bench
+    # tracks dispatch retunes automatically) with paired-interleaved reps
+    # like the headline sweep. Not in the geomean so the headline stays
+    # comparable to BASELINE.json's N=16-4096 definition.
+    from watfft_tpu import planner
+    from watfft_tpu.ops.large import fft_large_nb
+    for n in (8192, 16384, 32768):
         try:
             b = max(128, TOTAL_ELEMS // n)
             xre_t = jnp.asarray(rng.uniform(-1, 1, (n, b)).astype(np.float32))
             xim_t = jnp.asarray(rng.uniform(-1, 1, (n, b)).astype(np.float32))
+            kname = planner.c2c_kernel(n, "float32")
+            surf = {"stockham": "stockham-pallas"}.get(kname, kname)
 
-            def pstep(c):
-                a, bb = c
-                a, bb = stockham_fft_nb(a, bb, inverse=False)
-                return stockham_fft_nb(a, bb, inverse=True)
-            t_x = sorted(time_chain(pstep, (xre_t, xim_t)) for _ in range(3))[1]
-            t_x = max(t_x, _roundtrip_floor(xre_t.size))
+            if kname == "stockham":
+                def pstep(c):
+                    a, bb = c
+                    a, bb = stockham_fft_nb(a, bb, inverse=False)
+                    return stockham_fft_nb(a, bb, inverse=True)
+            else:
+                def pstep(c):
+                    a, bb = c
+                    a, bb = fft_large_nb(a, bb, inverse=False)
+                    return fft_large_nb(a, bb, inverse=True)
             xre = jnp.asarray(rng.uniform(-1, 1, (b, n)).astype(np.float32))
             xim = jnp.asarray(rng.uniform(-1, 1, (b, n)).astype(np.float32))
 
@@ -179,18 +210,78 @@ def main(full: bool = False) -> None:
                 a, bb = c
                 z = jnp.fft.ifft(jnp.fft.fft(a + 1j * bb))
                 return z.real, z.imag
-            t_jx = sorted(time_chain(jstep2, (xre, xim)) for _ in range(3))[1]
-            t_jx = max(t_jx, _roundtrip_floor(xre.size))
-            record(f"watfft/stockham-pallas/f32/n{n}", t_x, b)
-            record(f"jnp.fft/f32/n{n}", t_jx, b)
-            print(f"  [ext] n={n:<6} ours={2*b/t_x:,.0f}/s jnp={2*b/t_jx:,.0f}/s "
-                  f"x{t_jx/t_x:.2f}", file=sys.stderr)
+            floor = _roundtrip_floor(xre_t.size)
+            ratios, t_xs, t_jxs = [], [], []
+            for _ in range(3):
+                t_x = max(time_chain(pstep, (xre_t, xim_t)), floor)
+                t_jx = time_chain(jstep2, (xre, xim))
+                ratios.append(t_jx / t_x)
+                t_xs.append(t_x)
+                t_jxs.append(t_jx)
+            t_x = sorted(t_xs)[1]
+            t_jx = sorted(t_jxs)[1]
+            nbytes = 16 * n * b
+            record(f"watfft/{surf}/f32/n{n}", t_x, b, nbytes=nbytes)
+            record(f"jnp.fft/f32/n{n}", t_jx, b, nbytes=nbytes)
+            print(f"  [ext] n={n:<6} ours({surf})={2*b/t_x:,.0f}/s "
+                  f"jnp={2*b/t_jx:,.0f}/s x{sorted(ratios)[1]:.2f}",
+                  file=sys.stderr)
         except Exception as e:
             print(f"  ext n={n} bench failed: {str(e)[:120]}", file=sys.stderr)
+
+    # ---------------- standalone inverse directions (VERDICT r2 Missing #3)
+    # The reference benches inverse complex and inverse real as first-class
+    # surfaces (benchmarks/ifft_f32_dual.bench.js, irfft_f32_dual.bench.js)
+    # and claims forward/inverse parity for the native inverse
+    # (README.md:53). [cinv]: one chain step = ONE inverse transform (the
+    # carry stays spectrum planes). inv/fwd reports the parity ratio.
+    try:
+        for n in (1024, 4096):
+            b = max(128, TOTAL_ELEMS // n)
+            xre_t = jnp.asarray(rng.uniform(-1, 1, (n, b)).astype(np.float32))
+            xim_t = jnp.asarray(rng.uniform(-1, 1, (n, b)).astype(np.float32))
+
+            def istep(c):
+                a, bb = c
+                return stockham_fft_nb(a, bb, inverse=True)
+
+            def fstep_only(c):
+                a, bb = c
+                return stockham_fft_nb(a, bb, inverse=False)
+            xre = jnp.asarray(rng.uniform(-1, 1, (b, n)).astype(np.float32))
+            xim = jnp.asarray(rng.uniform(-1, 1, (b, n)).astype(np.float32))
+
+            def jistep(c):
+                a, bb = c
+                z = jnp.fft.ifft(a + 1j * bb)
+                return z.real, z.imag
+            floor1 = _roundtrip_floor(xre_t.size) / 2  # single direction
+            ratios, t_is, t_fs, t_jis = [], [], [], []
+            for _ in range(3):
+                t_i = max(time_chain(istep, (xre_t, xim_t)), floor1)
+                t_ji = time_chain(jistep, (xre, xim))
+                t_f = max(time_chain(fstep_only, (xre_t, xim_t)), floor1)
+                ratios.append(t_ji / t_i)
+                t_is.append(t_i)
+                t_fs.append(t_f)
+                t_jis.append(t_ji)
+            t_i = sorted(t_is)[1]
+            t_f = sorted(t_fs)[1]
+            t_ji = sorted(t_jis)[1]
+            nbytes = 8 * n * b  # one direction = 2 duplex plane-passes
+            record(f"watfft/stockham-pallas/f32-inv/n{n}", t_i, b, items=1,
+                   nbytes=nbytes)
+            record(f"jnp.fft/f32-inv/n{n}", t_ji, b, items=1, nbytes=nbytes)
+            print(f"  [cinv] n={n:<6} ours={b/t_i:,.0f}/s jnp={b/t_ji:,.0f}/s "
+                  f"x{sorted(ratios)[1]:.2f}  inv/fwd={t_i/t_f:.2f}",
+                  file=sys.stderr)
+    except Exception as e:
+        print(f"  cinv bench failed: {str(e)[:120]}", file=sys.stderr)
 
     # ---------------- public API dispatch point (planner) -----------------
     # VERDICT r1 #3 evidence: the public context API (batch-major planes)
     # must land within ~1.2x of the raw time-major kernel.
+    t_d = 0.0
     try:
         n, b = 1024, 2048
         ctx = FFTContext(n, "float32")
@@ -209,6 +300,30 @@ def main(full: bool = False) -> None:
               f"({rel:.2f}x raw kernel time)", file=sys.stderr)
     except Exception as e:
         print(f"  dispatch bench failed: {str(e)[:120]}", file=sys.stderr)
+
+    # ---------------- convenience-path tax (VERDICT r2 Weak #5) -----------
+    # fftlib.fft / ctx.forward take complex dtypes, which the axon tunnel
+    # cannot transfer — each call pays a host round-trip
+    # (api._complex_via_host) and cannot chain under jit. Measured as raw
+    # wall-clock per call (run_benchmark, includes the ~28 ms tunnel RPC
+    # where present) vs the plane dispatch point's chained per-call time, so
+    # users see exactly what the split-plane API buys.
+    try:
+        from watfft_tpu import fftlib
+        n, b = 1024, 2048
+        zc = (rng.uniform(-1, 1, (b, n)) +
+              1j * rng.uniform(-1, 1, (b, n))).astype(np.complex64)
+        conv = run_benchmark("watfft/convenience-fftlib/c64/n1024",
+                             lambda: fftlib.fft(zc), items_per_call=b,
+                             num_samples=5)
+        results.append(conv)
+        t_conv = conv.items_per_call / conv.ops_per_sec / b
+        tax = t_conv / (t_d / 2) if t_d else float("nan")
+        print(f"  [convenience] n={n} b={b}: fftlib.fft {conv.ops_per_sec:,.0f}/s "
+              f"({tax:,.0f}x the chained plane-dispatch per-call time — the "
+              f"host-round-trip tax)", file=sys.stderr)
+    except Exception as e:
+        print(f"  convenience bench failed: {str(e)[:120]}", file=sys.stderr)
 
     # ---------------- bf16 interop tier -----------------------------------
     try:
@@ -232,6 +347,39 @@ def main(full: bool = False) -> None:
             print(f"  [bf16] n={n}: {2*b/t_b16:,.0f}/s{extra}", file=sys.stderr)
     except Exception as e:
         print(f"  bf16 bench failed: {str(e)[:120]}", file=sys.stderr)
+
+    # ---------------- MXU speed tier (VERDICT r2 Weak #3) -----------------
+    # WATFFT_MXU_PRECISION=default drops the fourstep's matmuls to
+    # single-pass bf16 (~1e-3 rel err, fourstep.py:22-26) — the opt-in fast
+    # tier for ML workloads. Measured against the HIGHEST-precision fourstep
+    # on the same shapes so the claimed speed/accuracy trade carries a
+    # number.
+    try:
+        from watfft_tpu import config as _cfg
+        n, b = 1024, TOTAL_ELEMS // 1024
+        xre = jnp.asarray(rng.uniform(-1, 1, (b, n)).astype(np.float32))
+        xim = jnp.asarray(rng.uniform(-1, 1, (b, n)).astype(np.float32))
+        times = {}
+        for prec in ("highest", "default"):
+            _cfg.MXU_PRECISION = prec
+            ctx_p = FFTContext(n, "float32")
+
+            def fpstep(c, ctx_p=ctx_p):
+                a, bb = c
+                a, bb = ctx_p.forward_planes_fourstep(a, bb)
+                return ctx_p.inverse_planes_fourstep(a, bb)
+            times[prec] = sorted(time_chain(fpstep, (xre, xim))
+                                 for _ in range(3))[1]
+        _cfg.MXU_PRECISION = "highest"
+        t_fast, t_hi = times["default"], times["highest"]
+        record(f"watfft/fourstep-mxu/bf16-fast/n{n}", t_fast, b)
+        print(f"  [speed-tier] n={n} fourstep default={2*b/t_fast:,.0f}/s "
+              f"highest={2*b/t_hi:,.0f}/s ({t_hi/t_fast:.2f}x faster at "
+              f"~1e-3 rel err)", file=sys.stderr)
+    except Exception as e:
+        from watfft_tpu import config as _cfg
+        _cfg.MXU_PRECISION = "highest"
+        print(f"  speed-tier bench failed: {str(e)[:120]}", file=sys.stderr)
 
     # ---------------- small-N MXU alternative -----------------------------
     try:
@@ -278,6 +426,68 @@ def main(full: bool = False) -> None:
                   f"jnp={2*b/t_jr:,.0f}/s x{t_jr/t_r:.2f}", file=sys.stderr)
         except Exception as e:
             print(f"  real n={n} bench failed: {str(e)[:120]}", file=sys.stderr)
+
+    # ---------------- standalone real inverse (VERDICT r2 Missing #3) -----
+    # irfft's output shape differs from its input, so a pure-inverse chain
+    # needs a serialization trick: each iteration scatter-adds a ~1e-30
+    # scalar (fed back from the previous output) into one element of the
+    # donated spectrum carry — in-place on the fori_loop carry, so the
+    # dependence costs nothing while making hoisting impossible. Both sides
+    # use the identical trick, so the ratio is fair.
+    try:
+        for n in (1024, 4096):
+            b = max(128, TOTAL_ELEMS // n)
+            m = n // 2
+            sre_t = jnp.asarray(rng.uniform(-1, 1, (m + 1, b)).astype(np.float32))
+            sim_t = jnp.asarray(rng.uniform(-1, 1, (m + 1, b)).astype(np.float32))
+
+            def ristep(c):
+                re, im, eps = c
+                re = re.at[0, 0].add(eps)
+                y = irfft_nb(re, im)
+                return re, im, y[0, 0] * 1e-30
+
+            xr_t = jnp.asarray(rng.uniform(-1, 1, (n, b)).astype(np.float32))
+
+            def rfstep(c):
+                x, eps = c
+                x = x.at[0, 0].add(eps)
+                yre, yim = rfft_nb(x)
+                return x, yre[0, 0] * 1e-30
+
+            sre = jnp.asarray(rng.uniform(-1, 1, (b, m + 1)).astype(np.float32))
+            sim = jnp.asarray(rng.uniform(-1, 1, (b, m + 1)).astype(np.float32))
+
+            def jristep(c):
+                re, im, eps = c
+                re = re.at[0, 0].add(eps)
+                y = jnp.fft.irfft(re + 1j * im, n=n)
+                return re, im, y[0, 0] * 1e-30
+            # single real direction ~ quarter of the complex-roundtrip traffic
+            floor_r = _roundtrip_floor(n * b) / 4
+            eps0 = jnp.float32(0.0)
+            ratios, t_ris, t_rfs, t_jris = [], [], [], []
+            for _ in range(3):
+                t_ri = max(time_chain(ristep, (sre_t, sim_t, eps0)), floor_r)
+                t_jri = time_chain(jristep, (sre, sim, eps0))
+                t_rf_ = max(time_chain(rfstep, (xr_t, eps0)), floor_r)
+                ratios.append(t_jri / t_ri)
+                t_ris.append(t_ri)
+                t_rfs.append(t_rf_)
+                t_jris.append(t_jri)
+            t_ri = sorted(t_ris)[1]
+            t_rf_ = sorted(t_rfs)[1]
+            t_jri = sorted(t_jris)[1]
+            nbytes = 4 * n * b
+            record(f"watfft/rfft-pallas/f32-inv/n{n}", t_ri, b, items=1,
+                   nbytes=nbytes)
+            record(f"jnp.fft/real-inv/f32/n{n}", t_jri, b, items=1,
+                   nbytes=nbytes)
+            print(f"  [rinv] n={n:<6} ours={b/t_ri:,.0f}/s jnp={b/t_jri:,.0f}/s "
+                  f"x{sorted(ratios)[1]:.2f}  inv/fwd={t_ri/t_rf_:.2f}",
+                  file=sys.stderr)
+    except Exception as e:
+        print(f"  rinv bench failed: {str(e)[:120]}", file=sys.stderr)
 
     # ---------------- fully-fused real variant (alternate surface) --------
     try:

@@ -30,10 +30,14 @@ def test_fft2_batched_roundtrip():
 
 
 def test_large_split_factors():
-    for log in range(14, 21):
+    # round-3 domain: n1 (outer) >= 128 always; n2 (inner) may drop to 64
+    # at the new 2^13 lower bound; odd logs put the smaller factor outer
+    # (measured: (128, 256) beats (256, 128) at 32768)
+    for log in range(13, 21):
         n1, n2 = large_split(1 << log)
         assert n1 * n2 == 1 << log
-        assert 128 <= n1 <= 4096 and 128 <= n2 <= 4096
+        assert 128 <= n1 <= 4096 and 64 <= n2 <= 4096
+        assert n1 <= n2 or log == 13
 
 
 @pytest.mark.parametrize("log", [14, 16])
@@ -111,6 +115,33 @@ def test_fft_large_nb_matches_fftpack(batch):
     err = np.max(np.abs(got - expected)) / np.max(np.abs(expected))
     assert err < 5e-6, err
     bre, bim = fft_large_nb(np.asarray(re), np.asarray(im), inverse=True)
+    assert np.max(np.abs(np.asarray(bre).T - x.real)) < 1e-4
+    assert np.max(np.abs(np.asarray(bim).T - x.imag)) < 1e-4
+
+
+@pytest.mark.parametrize("mode,n,split", [
+    ("cube", 1 << 13, (128, 64)),    # round-3 dispatch winner at 8192
+    ("cube", 1 << 14, (128, 128)),   # dispatch winner at 16384
+    ("pipe2", 1 << 13, (128, 64)),   # fully-3D two-kernel pipeline
+    ("pipe2", 1 << 15, (128, 256)),  # dispatch winner at 32768
+])
+def test_fft_large_nb_modes(mode, n, split):
+    """Both four-step modes (single-kernel cube at the 4-HBM-pass floor;
+    fully-3D two-kernel pipe2 at 8 passes) against numpy, explicit splits
+    matching the round-3 dispatch table."""
+    from watfft_tpu.ops.large import fft_large_nb
+    rng = ref.seeded_rng(n % 97)
+    b = 128
+    x = rng.uniform(-1, 1, (b, n)) + 1j * rng.uniform(-1, 1, (b, n))
+    xre = np.ascontiguousarray(x.real.T).astype(np.float32)
+    xim = np.ascontiguousarray(x.imag.T).astype(np.float32)
+    re, im = fft_large_nb(xre, xim, split=split, mode=mode)
+    got = np.asarray(re).T + 1j * np.asarray(im).T
+    expected = np.fft.fft(x, axis=-1)
+    err = np.max(np.abs(got - expected)) / np.max(np.abs(expected))
+    assert err < 5e-6, err
+    bre, bim = fft_large_nb(np.asarray(re), np.asarray(im), inverse=True,
+                            split=split, mode=mode)
     assert np.max(np.abs(np.asarray(bre).T - x.real)) < 1e-4
     assert np.max(np.abs(np.asarray(bim).T - x.imag)) < 1e-4
 

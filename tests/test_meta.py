@@ -122,6 +122,32 @@ def test_bench_enumerates_registry():
             f"BENCHED_SURFACES claims {name} but bench.py never records it")
 
 
+def test_bench_snapshot_covers_all_surfaces():
+    """The COMMITTED results snapshot from a real chip run must contain a
+    timed row for every BENCHED_SURFACES name (VERDICT r2 Weak #6): the
+    static check above proves bench.py *names* each surface, but each bench
+    section is wrapped in try/except — a section that silently excepts every
+    run would still pass the static check while the surface goes unmeasured.
+    Asserting against the saved run makes a dead section fail the suite the
+    moment its snapshot is refreshed."""
+    import importlib.util
+    import json
+    import os
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(root, "bench.py"))
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    path = os.path.join(root, "benchmarks", "results", "headline.latest.json")
+    with open(path) as f:
+        saved = json.load(f)
+    rows = {r["name"] for r in saved["results"]}
+    for name in bench.BENCHED_SURFACES:
+        assert any(r.startswith(f"watfft/{name}/") for r in rows), (
+            f"saved snapshot {path} has no timed row for surface {name} — "
+            f"its bench section silently failed on the last recorded run")
+
+
 def test_bench_sizes_are_tested_sizes():
     """The benchmark sweep must stay inside the correctness-tested range."""
     import os

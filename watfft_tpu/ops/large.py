@@ -38,10 +38,12 @@ __all__ = ["fft_large", "fft_large_nb", "large_split"]
 
 
 def large_split(n: int) -> tuple[int, int]:
-    """Balanced power-of-two split with both factors >= 128 when possible
-    (the kernel's lane minimum) and each <= 4096 (kernel max)."""
+    """Balanced power-of-two split with n1 >= 128 (the outer factor's lane
+    minimum) and each factor <= 4096 (kernel max). Odd log2 puts the SMALLER
+    factor outer (n1 <= n2): measured at n=32768, (128, 256) beats
+    (256, 128) 390.8us vs 405.8us (round-3 valley probe)."""
     log = n.bit_length() - 1
-    l1 = min(max((log + 1) // 2, 7, log - 12), 12)
+    l1 = min(max(log // 2, 7, log - 12), 12)
     n1 = 1 << l1
     return n1, n // n1
 
@@ -130,6 +132,120 @@ def _fft_large_nb(xre, xim, twre, twim, n1, n2, inverse):
     return dre.reshape(n1 * n2, b), dim.reshape(n1 * n2, b)
 
 
+def _stage1_kernel(n2, inverse, offsets, stages,
+                   xre_ref, xim_ref, twre_ref, twim_ref, ore_ref, oim_ref):
+    """First four-step stage on NATIVE 3D blocks [n2, tbj, tbs] of the free
+    [n2, n1, b] view (round-3 Exp 30): the FFT runs over axis 0 with the
+    (tbj, tbs) minor pair fully tiled, so there is no in-kernel relayout and
+    no 2D boundary reshape — the 2D [n, b] -> [n2, n1*b] view the old path
+    used changes the minor-two dims and costs a REAL relayout pass per
+    plane per direction (Exp 28b's lesson, rediscovered here)."""
+    cre, cim = run_stages(xre_ref[:], xim_ref[:], n2, inverse, offsets,
+                          stages, twre_ref[:], twim_ref[:])
+    ore_ref[:] = cre
+    oim_ref[:] = cim
+
+
+@functools.partial(jax.jit, static_argnames=("n2", "inverse", "tbj", "tbs",
+                                             "interpret"))
+def _stage1_call(xre, xim, twre, twim, n2, inverse, tbj, tbs,
+                 interpret=False):
+    n1, b = xre.shape[1], xre.shape[2]      # xre: [n2, n1, b]
+    stages = tuple(stage_plan(n2))
+    offsets = make_twiddle_pack(n2, inverse)[2]
+    kernel = functools.partial(_stage1_kernel, n2, inverse, offsets, stages)
+    grid = (n1 // tbj, b // tbs)
+    blk = pl.BlockSpec((n2, tbj, tbs), lambda i, j: (0, i, j),
+                       memory_space=pltpu.VMEM)
+    tw = pl.BlockSpec(twre.shape, lambda i, j: (0, 0),
+                      memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct(xre.shape, xre.dtype)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[blk, blk, tw, tw],
+        out_specs=[blk, blk],
+        out_shape=[out_shape, out_shape],
+        input_output_aliases={0: 0, 1: 1},
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=config.VMEM_LIMIT_BYTES),
+        interpret=interpret,
+    )(xre, xim, twre, twim)
+
+
+def _cube_kernel(n1, n2, inverse, off1, st1, off2, st2,
+                 xre_ref, xim_ref, pmre_ref, pmim_ref,
+                 t1re_ref, t1im_ref, t2re_ref, t2im_ref, ore_ref, oim_ref):
+    """The WHOLE four-step in ONE kernel (round-3 Exp 31): when the full
+    [n2, n1, 128] cube fits VMEM, the two-kernel pipeline's 8 HBM
+    plane-passes collapse to the 4-pass floor (one read + one write per
+    plane). Inner n2-point chain over axis 0, four-step twiddle
+    ([n2, n1] -> lane broadcast), in-VMEM transpose, outer n1-point chain —
+    no intermediate ever touches HBM."""
+    cre, cim = run_stages(xre_ref[:], xim_ref[:], n2, inverse, off1, st1,
+                          t1re_ref[:], t1im_ref[:])
+    pre = pmre_ref[:][:, :, None]          # [n2, n1, 1] -> lane broadcast
+    pim = pmim_ref[:][:, :, None]
+    tre = cre * pre - cim * pim
+    tim = cre * pim + cim * pre
+    tre = jnp.swapaxes(tre, 0, 1)          # [n1, n2, L]
+    tim = jnp.swapaxes(tim, 0, 1)
+    tre, tim = run_stages(tre, tim, n1, inverse, off2, st2,
+                          t2re_ref[:], t2im_ref[:])
+    ore_ref[:] = tre
+    oim_ref[:] = tim
+
+
+@functools.partial(jax.jit, static_argnames=("n1", "n2", "inverse",
+                                             "interpret"))
+def _cube_call(xre, xim, pmre, pmim, s1re, s1im, s2re, s2im,
+               n1, n2, inverse, interpret=False):
+    b = xre.shape[-1]                      # xre: [n2, n1, b]
+    st1 = tuple(stage_plan(n2))
+    off1 = make_twiddle_pack(n2, inverse)[2]
+    st2 = tuple(stage_plan(n1))
+    off2 = make_twiddle_pack(n1, inverse)[2]
+    kernel = functools.partial(_cube_kernel, n1, n2, inverse, off1, st1,
+                               off2, st2)
+    grid = (b // 128,)
+    inblk = pl.BlockSpec((n2, n1, 128), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM)
+    pmspec = pl.BlockSpec(pmre.shape, lambda i: (0, 0),
+                          memory_space=pltpu.VMEM)
+    tw1 = pl.BlockSpec(s1re.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+    tw2 = pl.BlockSpec(s2re.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+    oblk = pl.BlockSpec((n1, n2, 128), lambda i: (0, 0, i),
+                        memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((n1, n2, b), xre.dtype)
+    # io-aliasing frees the input block buffers for pipeline overlap
+    # (Exp 11) but requires matching abstract shapes: only the symmetric
+    # split qualifies ([n2, n1, b] == [n1, n2, b] iff n1 == n2)
+    aliases = {0: 0, 1: 1} if n1 == n2 else {}
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[inblk, inblk, pmspec, pmspec, tw1, tw1, tw2, tw2],
+        out_specs=[oblk, oblk],
+        out_shape=[out_shape, out_shape],
+        input_output_aliases=aliases,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=config.VMEM_LIMIT_BYTES),
+        interpret=interpret,
+    )(xre, xim, pmre, pmim, s1re, s1im, s2re, s2im)
+
+
+@functools.partial(jax.jit, static_argnames=("n1", "n2", "inverse",
+                                             "interpret"))
+def _fft_large_nb_cube(xre, xim, pmre, pmim, s1re, s1im, s2re, s2im,
+                       n1, n2, inverse, interpret):
+    b = xre.shape[-1]
+    x3re = xre.reshape(n2, n1, b)
+    x3im = xim.reshape(n2, n1, b)
+    dre, dim = _cube_call(x3re, x3im, pmre, pmim, s1re, s1im, s2re, s2im,
+                          n1, n2, inverse, interpret)
+    return dre.reshape(n1 * n2, b), dim.reshape(n1 * n2, b)
+
+
 def _stage2_kernel(n1, inverse, offsets, stages,
                    cre_ref, cim_ref, pmre_ref, pmim_ref, twre_ref, twim_ref,
                    ore_ref, oim_ref):
@@ -187,54 +303,90 @@ def _stage2_call(cre, cim, pmre, pmim, twre, twim, n1, n2, inverse, tbk, tbs,
 
 
 @functools.partial(jax.jit, static_argnames=("n1", "n2", "inverse", "tbk",
-                                             "interpret"))
-def _fft_large_nb_fused(xre, xim, pmre, pmim, s2re, s2im, n1, n2, inverse,
-                        tbk, interpret):
-    # kernel 1: plain Stockham over j2 — NO twiddle, NO pm read (the
-    # four-step multiply moved into kernel 2's load)
+                                             "tbj", "interpret"))
+def _fft_large_nb_fused(xre, xim, pmre, pmim, s1re, s1im, s2re, s2im,
+                        n1, n2, inverse, tbk, tbj, interpret):
+    # Fully-3D pipeline (round-3 Exp 30). [n, b] -> [n2, n1, b] is a FREE
+    # leading-dim split (n1 % 8 == 0 keeps every (8, 128) tile intact), so
+    # the only data movement is the two kernels' own HBM passes:
+    #   kernel 1: plain Stockham over j2 on native 3D blocks — NO twiddle,
+    #   NO pm read (the four-step multiply lives in kernel 2's load)
+    #   kernel 2: pm twiddle + in-VMEM transpose + n1-point chain (Exp 27)
+    # The old path went through [n2, n1*b] 2D planes: that view and the
+    # [n2, n1*b] -> [n2, n1, b] reshape after kernel 1 each cost a real
+    # relayout pass per plane per direction (~4 hidden passes — measured
+    # 719us at n=32768 vs ~8 true HBM passes worth ~164us).
     b = xre.shape[-1]
-    cre, cim = stockham_fft_nb(xre.reshape(n2, n1 * b),
-                               xim.reshape(n2, n1 * b), inverse=inverse)
-    # free 3D view (same layout), then the fused kernel 2
-    dre, dim = _stage2_call(cre.reshape(n2, n1, b), cim.reshape(n2, n1, b),
-                            pmre, pmim, s2re, s2im, n1, n2, inverse,
-                            tbk, 128, interpret)
+    x3re = xre.reshape(n2, n1, b)
+    x3im = xim.reshape(n2, n1, b)
+    cre, cim = _stage1_call(x3re, x3im, s1re, s1im, n2, inverse, tbj, 128,
+                            interpret)
+    dre, dim = _stage2_call(cre, cim, pmre, pmim, s2re, s2im, n1, n2,
+                            inverse, tbk, 128, interpret)
     return dre.reshape(n1 * n2, b), dim.reshape(n1 * n2, b)
 
 
-def fft_large_nb(xre, xim, inverse: bool = False):
+def fft_large_nb(xre, xim, inverse: bool = False, split=None, tbk=None,
+                 tbj=None, mode=None):
     """Batched large-N FFT on time-major planes [N, batch] (f32).
 
     Four-step decomposition with BOTH kernel calls batched over the lane
     axis: the inner call folds (j1, batch) into its batch, the outer call
     folds (k2, batch). One relayout total — identical pass count to the
-    single-transform fft_large. N must be a power of two >= 2^14 (both
-    factors >= 128). batch must be a power of two (so twiddle-column
+    single-transform fft_large. N must be a power of two >= 2^13 (the outer
+    factor n1 must reach the 128-lane minimum; the inner factor n2 may be
+    64, covering N=8192). batch must be a power of two (so twiddle-column
     boundaries align with lane tiles); even batch=1 fills the lanes since
-    the fold multiplies it by n1/n2 >= 128.
+    the fold multiplies it by n1/n2 >= 64.
+
+    split/tbk/tbj/mode override the measured defaults (probes/experiments):
+    split = (n1, n2) factor pair, tbk = stage-2 k2-rows per block, tbj =
+    stage-1 j1-rows per block, mode = "cube" (single-kernel whole-transform)
+    or "pipe2" (two-kernel pipeline).
     """
     n, b = xre.shape[-2], xre.shape[-1]
-    n1, n2 = large_split(n)
-    if min(n1, n2) < 128:
+    n1, n2 = split if split is not None else large_split(n)
+    if n1 * n2 != n:
+        raise ValueError(f"split {n1}x{n2} != N={n}")
+    if n1 < 128 or n2 < 64:
         raise ValueError(
-            f"fft_large_nb requires N >= 2^14 so both factors reach the "
-            f"128-lane minimum (got N={n} -> {n1}x{n2})")
+            f"fft_large_nb requires n1 >= 128 (outer lane minimum) and "
+            f"n2 >= 64 (got N={n} -> {n1}x{n2}); use the direct kernel")
     if b & (b - 1):
         raise ValueError(
             f"fft_large_nb batch must be a power of two (got {b}); pad the "
             f"batch axis at the caller")
     interpret = config.FORCE_INTERPRET or jax.default_backend() != "tpu"
     if b % 128 == 0:
-        # fused path (Exp 27): plain kernel 1, then twiddle + transpose +
-        # outer FFT fused into kernel 2 — 8 HBM plane-passes total (the
-        # four-step floor) vs 14 for the XLA-transpose path below
         pmre, pmim = _TwCache.get(n, n1, n2, inverse)
+        s1re, s1im = _StageTwCache.get(n2, inverse)
         s2re, s2im = _StageTwCache.get(n1, inverse)
-        tbk = 8  # k2-rows per block: 8 * 128 lanes = 1024 merged columns
+        if mode is None:
+            mode = "cube" if n <= config.CUBE_MAX_N else "pipe2"
+        if mode == "cube":
+            # single-kernel whole-transform (Exp 31): the [n2, n1, 128]
+            # cube lives entirely in VMEM, so the four-step runs at the
+            # 4-HBM-pass floor (one read + one write per plane)
+            return _fft_large_nb_cube(xre, xim, jnp.asarray(pmre),
+                                      jnp.asarray(pmim), jnp.asarray(s1re),
+                                      jnp.asarray(s1im), jnp.asarray(s2re),
+                                      jnp.asarray(s2im), n1, n2, inverse,
+                                      interpret)
+        # two-kernel pipeline (Exp 27 + 30): native-3D kernel 1, then
+        # twiddle + transpose + outer FFT fused into kernel 2 — 8 HBM
+        # plane-passes, zero boundary relayouts; for n past the cube's
+        # VMEM ceiling
+        if tbk is None:
+            tbk = 8  # k2-rows per block: 8 * 128 lanes = 1024 merged columns
+        tbk = min(tbk, n2)
+        if tbj is None:
+            tbj = 16  # round-3 sweep: tbk=8/tbj=16 best at 32768 and 65536
+        tbj = min(tbj, n1)
         return _fft_large_nb_fused(xre, xim, jnp.asarray(pmre),
-                                   jnp.asarray(pmim), jnp.asarray(s2re),
+                                   jnp.asarray(pmim), jnp.asarray(s1re),
+                                   jnp.asarray(s1im), jnp.asarray(s2re),
                                    jnp.asarray(s2im), n1, n2, inverse, tbk,
-                                   interpret)
+                                   tbj, interpret)
     twre, twim = _TwCacheTiled.get(n, n1, n2, b, inverse)
     return _fft_large_nb(xre, xim, twre, twim, n1, n2, inverse)
 

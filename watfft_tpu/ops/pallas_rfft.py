@@ -202,14 +202,21 @@ def _rfft_impl(x):
 # Fully-fused single-pass variants: the whole rfft pipeline in ONE
 # pallas_call. The Hermitian mirror B[k] = Z[(m-k) mod m] is a sublane
 # reversal Mosaic cannot lower (no rev/strided gather) — so it runs on the
-# MXU instead: B = J @ Z with J the [m, m] exchange-permutation matrix
-# (precision HIGHEST; a 0/1 selection matrix is exact). One systolic-array
-# op replaces the whole mirror pass; the permutes the VPU hates are free
-# FLOPs on the MXU (Exp 19). Reference analog: $stage_r4_s1_rfft_fused
-# (Experiment 61, fft_split_native_f32.wat:2220-2716), which fused the
-# post-process into the final stage in registers; an earlier per-8-row
-# dynamic-slice walk here measured SLOWER than the hybrid (Exp 8) and was
-# replaced by the J-matmul.
+# MXU instead. Round-2's version used a DENSE [m, m] exchange matrix (one
+# matmul replaces the mirror pass, but at m^2*b MACs it lost 2.1x to the
+# hybrid at n=1024 — Exp 19). Round 3 exploits the permutation's BLOCK
+# structure: with Z split into G-row blocks (G = min(128, m)), output block
+# i sources rows t >= 1 from input block B-1-i REVERSED, plus one boundary
+# row (t = 0) from the first row of block (B-i) mod B. Reordering blocks is
+# a free concat of row slices; the within-block reversal is ONE [G, G]
+# constant matmul batched over the B blocks — m*G*b MACs, i.e. m/128 times
+# cheaper than dense, and every tile is a full MXU tile (precision HIGHEST;
+# 0/1 entries make the product exact). Reference analog:
+# $stage_r4_s1_rfft_fused (Experiment 61,
+# fft_split_native_f32.wat:2220-2716), which fused the post-process into
+# the final stage in registers; an earlier per-8-row dynamic-slice walk
+# here measured SLOWER than the hybrid (Exp 8) and was replaced by the
+# MXU mirror.
 # ---------------------------------------------------------------------------
 
 import functools as _ft
@@ -220,23 +227,43 @@ from .pallas_stockham import run_stages as _run_stages, stage_plan as _stage_pla
 from .pallas_stockham import make_twiddle_pack as _mk_pack, _pick_tile as _pick_tile_c
 
 
-def _mirror_matrix(m: int, rows: int, cols: int) -> np.ndarray:
-    """[rows, cols] f32 0/1 matrix with J[k, (m-k) % cols] = 1 — the mirror
-    permutation as an MXU operand."""
-    j = np.zeros((rows, cols), np.float32)
-    k = np.arange(rows)
-    j[k, (m - k) % cols] = 1.0
+def _mirror_block_matrix(m: int) -> np.ndarray:
+    """[G, G] f32 0/1 within-block reversal: J[t, G-t] = 1 for t >= 1
+    (row 0 stays zero — the block-boundary rows are patched by concat)."""
+    g = min(128, m)
+    j = np.zeros((g, g), np.float32)
+    t = np.arange(1, g)
+    j[t, g - t] = 1.0
     return j
 
 
-def _mxu_mirror(jm, re, im):
+def _mirror_rows(z, jblk, extra_row0=None):
+    """M[k] = z[(m - k) mod m] on [m, b] VMEM values via the blocked MXU
+    mirror: per output block i, rows t >= 1 come from input block nb-1-i
+    through the [G, G] reversal matmul (a clean 2D MXU dot), and the
+    boundary row t = 0 is a single-row slice of block (nb-i) mod nb. If
+    extra_row0 is given (a [1, b] value), it replaces M[0] (the irfft case,
+    where M[0] must read the Nyquist row of the m+1-row spectrum instead of
+    wrapping to z[0])."""
+    m, b = z.shape
+    g = jblk.shape[0]
+    nb = m // g
     dot = functools.partial(
         jax.lax.dot_general,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
     )
-    return dot(jm, re), dot(jm, im)
+    pieces = []
+    for i in range(nb):
+        blk = dot(jblk, z[(nb - 1 - i) * g:(nb - i) * g])  # row 0 is zero
+        if i == 0 and extra_row0 is not None:
+            pieces.append(extra_row0)
+        else:
+            src = ((nb - i) % nb) * g
+            pieces.append(z[src:src + 1])
+        pieces.append(blk[1:])
+    return jnp.concatenate(pieces, axis=0)
 
 
 def _rfft_fused_kernel(n, offsets, stages,
@@ -252,9 +279,11 @@ def _rfft_fused_kernel(n, offsets, stages,
     zim = xv[:, 1, :]
     zre, zim = _run_stages(zre, zim, m, False, offsets, stages,
                            twre_ref[:], twim_ref[:])
-    # B[k] = Z[(m-k) mod m] via the MXU (k = 0 row wraps to Z[0], which
-    # makes the DC formula below exact: X[0] = Re(Z0) + Im(Z0) since W[0]=1)
-    bre, bim = _mxu_mirror(jm_ref[:], zre, zim)
+    # B[k] = Z[(m-k) mod m] via the blocked MXU mirror (k = 0 wraps to Z[0],
+    # which makes the DC formula below exact: X[0] = Re(Z0) + Im(Z0))
+    jm = jm_ref[:]
+    bre = _mirror_rows(zre, jm)
+    bim = _mirror_rows(zim, jm)
     ere = 0.5 * (zre + bre)
     eim = 0.5 * (zim - bim)
     ore = 0.5 * (zim + bim)
@@ -275,10 +304,11 @@ def _irfft_fused_kernel(n, offsets, stages,
     b = xre_ref.shape[-1]
     are = xre_ref[0:m]
     aim = xim_ref[0:m]
-    # B[k] = conj(X[m-k]), k = 0..m-1 (row 0 reads the Nyquist row m):
-    # J is [m, m+1] over the full spectrum planes
-    bre, bim = _mxu_mirror(jm_ref[:], xre_ref[:], xim_ref[:])
-    bim = -bim
+    # B[k] = conj(X[m-k]), k = 0..m-1: the blocked mirror of the core rows,
+    # with the k = 0 boundary row reading the Nyquist row m
+    jm = jm_ref[:]
+    bre = _mirror_rows(xre_ref[0:m], jm, extra_row0=xre_ref[m:m + 1])
+    bim = -_mirror_rows(xim_ref[0:m], jm, extra_row0=xim_ref[m:m + 1])
     ere = 0.5 * (are + bre)
     eim = 0.5 * (aim + bim)
     ore = -0.5 * (aim - bim)
@@ -343,18 +373,17 @@ def _irfft_fused_call(xre, xim, twre, twim, wre, wim, jm, n, tile_b,
 
 
 class _JCache:
-    """Host (numpy) mirror-permutation matrices; numpy constants bake under
-    an outer jit (device arrays must never be cached — tracer leak)."""
+    """Host (numpy) within-block mirror matrices ([G, G], G = min(128, m));
+    numpy constants bake under an outer jit (device arrays must never be
+    cached — tracer leak)."""
 
     _c: dict = {}
 
     @classmethod
-    def get(cls, m: int, inverse: bool) -> np.ndarray:
-        key = (m, inverse)
-        if key not in cls._c:
-            cols = m + 1 if inverse else m
-            cls._c[key] = _mirror_matrix(m, m, cols)
-        return cls._c[key]
+    def get(cls, m: int) -> np.ndarray:
+        if m not in cls._c:
+            cls._c[m] = _mirror_block_matrix(m)
+        return cls._c[m]
 
 
 def rfft_nb_fused(x):
@@ -369,7 +398,7 @@ def rfft_nb_fused(x):
     wre, wim = (jnp.asarray(a) for a in _Cache.get(n, False))
     sre, sim = (jnp.asarray(a) for a in
                 (_mk_pack(m, False)[0], _mk_pack(m, False)[1]))
-    jm = jnp.asarray(_JCache.get(m, False))
+    jm = jnp.asarray(_JCache.get(m))
     tile_b = _pick_tile_c(n, b)
     if b % tile_b != 0:
         tile_b = 128
@@ -390,7 +419,7 @@ def irfft_nb_fused(xre, xim):
     wre, wim = (jnp.asarray(a) for a in _Cache.get(n, True))
     pk = _mk_pack(m, True)
     sre, sim = jnp.asarray(pk[0]), jnp.asarray(pk[1])
-    jm = jnp.asarray(_JCache.get(m, True))
+    jm = jnp.asarray(_JCache.get(m))
     tile_b = _pick_tile_c(n, b)
     if b % tile_b != 0:
         tile_b = 128

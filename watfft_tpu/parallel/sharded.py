@@ -84,11 +84,17 @@ def _swap_sharded_axis(x, axis_name: str, reverse: bool = False):
                           tiled=True)
 
 
-def fft2_sharded(xre, xim, mesh: Mesh, inverse: bool = False, axis: str = "x"):
+def fft2_sharded(xre, xim, mesh: Mesh, inverse: bool = False, axis: str = "x",
+                 batch_axis: str | None = None):
     """2D FFT over trailing [H, W] planes, H sharded over the mesh.
 
     x: [..., H, W] global shape; returns same layout. Batch dims (if any)
-    must be unsharded (or shard them separately via fft_batch_sharded).
+    are unsharded by default; on a 2D mesh (the realistic multichip
+    topology for BASELINE configs 4+5 combined: data parallelism on one
+    axis, transform parallelism on the other) pass `batch_axis` to shard
+    the LEADING batch dim over it — the all_to_all then runs per
+    batch-group over `axis` only, so transform collectives never cross the
+    DP axis.
     """
 
     def local(xre, xim):  # shapes [..., H/D, W]
@@ -108,7 +114,12 @@ def fft2_sharded(xre, xim, mesh: Mesh, inverse: bool = False, axis: str = "x"):
         xim = _swap_sharded_axis(xim, axis, reverse=True)
         return xre, xim
 
-    spec = P(*([None] * (jnp.ndim(xre) - 2)), axis, None)
+    lead: list = [None] * (jnp.ndim(xre) - 2)
+    if batch_axis is not None:
+        if not lead:
+            raise ValueError("batch_axis requires a leading batch dim")
+        lead[0] = batch_axis
+    spec = P(*lead, axis, None)
     fn = shard_map(
         local,
         mesh=mesh,

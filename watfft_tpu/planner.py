@@ -52,14 +52,20 @@ def c2c_kernel(n: int, dtype: str) -> str:
     both factor FFTs on the Pallas kernel — round-2 Exp 22: the XLA einsum
     path LOST to jnp at n=32768, x0.75), or 'fourstep' (XLA MXU matmuls)."""
     if dtype == "float32" and pallas_available() and is_power_of_two(n):
-        if 2 <= n <= config.STOCKHAM_MAX_N:
+        # Round-3 crossover (config.py table): the four-step overtakes the
+        # single kernel at 2^13 — cube 2.59x vs stockham 2.13x at 8192,
+        # 2.22x vs 1.14x at 16384.
+        if 2 <= n < min(config.LARGE_NB_MIN_N,
+                        config.STOCKHAM_MAX_N + 1):
             return "stockham"
         # Upper bound matches the registry's large-nb domain: beyond 2^20 the
         # fused stage-2 kernel's VMEM live set (~17 [n1, tile] f32 planes at
         # n1=2048) exceeds VMEM_LIMIT_BYTES and would fail to compile
         # (ADVICE r2); those sizes take the XLA four-step instead.
-        if (1 << 14) <= n <= config.LARGE_NB_MAX_N:
+        if config.LARGE_NB_MIN_N <= n <= config.LARGE_NB_MAX_N:
             return "large-nb"
+        if n <= config.STOCKHAM_MAX_N:
+            return "stockham"
     return "fourstep"
 
 
