@@ -120,6 +120,58 @@ def test_grad_irfft_exact_vs_mimic(n):
                                atol=ATOL, rtol=1e-3)
 
 
+@pytest.mark.parametrize("n", [16, 64])
+def test_grad_rfft_fused_matches_jnp(n):
+    """The single-pass fused kernel's VJP (same adjoint identities realized
+    on the fused kernels) agrees with jnp's grad."""
+    from watfft_tpu.ops.pallas_rfft import rfft_nb_fused
+    rng = np.random.default_rng(16)
+    x = jnp.asarray(rng.uniform(-1, 1, (n, 128)).astype(np.float32))
+    w = _weights(n // 2 + 1)
+
+    def loss_ours(a):
+        re, im = rfft_nb_fused(a)
+        return jnp.sum(w * (re * re + im * im))
+
+    def loss_jnp(a):
+        z = jnp.fft.rfft(a.T).T
+        return jnp.sum(w * (z.real ** 2 + z.imag ** 2))
+
+    g = jax.grad(loss_ours)(x)
+    r = jax.grad(loss_jnp)(x)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                               atol=ATOL * n, rtol=1e-4)
+
+
+@pytest.mark.parametrize("n", [16, 64])
+def test_grad_irfft_fused_matches_hybrid(n):
+    """Fused and hybrid inverse kernels realize the same map, so their grads
+    must agree on arbitrary (non-Hermitian-consistent) inputs too."""
+    from watfft_tpu.ops.pallas_rfft import irfft_nb_fused
+    rng = np.random.default_rng(17)
+    m = n // 2
+    xre = jnp.asarray(rng.uniform(-1, 1, (m + 1, 128)).astype(np.float32))
+    xim = jnp.asarray(rng.uniform(-1, 1, (m + 1, 128)).astype(np.float32))
+    w = _weights(n)
+
+    np.testing.assert_allclose(np.asarray(irfft_nb_fused(xre, xim)),
+                               np.asarray(irfft_nb(xre, xim)), atol=1e-4)
+
+    def loss_fused(a, b):
+        y = irfft_nb_fused(a, b)
+        return jnp.sum(w * y * y)
+
+    def loss_hybrid(a, b):
+        y = irfft_nb(a, b)
+        return jnp.sum(w * y * y)
+
+    gf = jax.grad(loss_fused, argnums=(0, 1))(xre, xim)
+    gh = jax.grad(loss_hybrid, argnums=(0, 1))(xre, xim)
+    for a, b in zip(gf, gh):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=ATOL, rtol=1e-3)
+
+
 def test_grad_roundtrip_is_identityish():
     """grad of 0.5*||irfft(rfft(x))||^2 is x itself (roundtrip = identity)."""
     rng = np.random.default_rng(8)

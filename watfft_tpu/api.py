@@ -285,11 +285,22 @@ class RFFTContext(_BaseContext):
         self._inv_fn = jax.jit(partial(irfft_planes, inv_shape_info=self._shape_info))
 
     # -- time-major [n, batch] hot paths --------------------------------------
+    def _r2c_nb_fns(self):
+        """(rfft_nb, irfft_nb) pair per the planner's per-size codelet table
+        (config.RFFT_FUSED_SIZES — reference analog: the per-size dispatch of
+        fft_real_f32_dual.wat:2433-2459): single-pass fused kernel at the
+        sizes where it measured faster on chip, partial-fusion hybrid else."""
+        from .ops import pallas_rfft as pr
+        if planner.r2c_kernel(self.size, self.dtype) == "rfft-pallas-fused":
+            return pr.rfft_nb_fused, pr.irfft_nb_fused
+        return pr.rfft_nb, pr.irfft_nb
+
     def forward_planes_nb(self, x):
         """Real [n, batch] -> spectrum planes [n//2+1, batch]. f32 uses the
-        hybrid Pallas real path; f64 the double-f32 tier (hi/lo internal)."""
+        Pallas real path (fused or hybrid per the planner's codelet table);
+        f64 the double-f32 tier (hi/lo internal)."""
         if self.dtype == "float32":
-            from .ops.pallas_rfft import rfft_nb
+            rfft_nb, _ = self._r2c_nb_fns()
             return rfft_nb(self._prep(x))
         from .ops.doublefloat import df_rfft_nb, split_f64, merge_f64
         xh, xl = split_f64(np.asarray(x, np.float64))
@@ -300,7 +311,7 @@ class RFFTContext(_BaseContext):
     def inverse_planes_nb(self, xre, xim):
         """Spectrum planes [m+1, batch] -> real [2m, batch]."""
         if self.dtype == "float32":
-            from .ops.pallas_rfft import irfft_nb
+            _, irfft_nb = self._r2c_nb_fns()
             return irfft_nb(self._prep(xre), self._prep(xim))
         from .ops.doublefloat import df_irfft_nb, split_f64, merge_f64
         rh, rl = split_f64(np.asarray(xre, np.float64))
@@ -311,12 +322,12 @@ class RFFTContext(_BaseContext):
 
     # -- batch-major [..., n] entry points (planner-dispatched) ---------------
     def forward_planes(self, x):
-        if planner.r2c_kernel(self.size, self.dtype) == "rfft-pallas":
+        if planner.r2c_kernel(self.size, self.dtype).startswith("rfft-pallas"):
             return self._bm_rfft(x, inverse=False)
         return self.forward_planes_fourstep(x)
 
     def inverse_planes(self, xre, xim):
-        if planner.r2c_kernel(self.size, self.dtype) == "rfft-pallas":
+        if planner.r2c_kernel(self.size, self.dtype).startswith("rfft-pallas"):
             return self._bm_rfft((xre, xim), inverse=True)
         return self.inverse_planes_fourstep(xre, xim)
 
@@ -331,7 +342,7 @@ class RFFTContext(_BaseContext):
     def _bm_rfft(self, x, inverse: bool):
         """Batch-major wrapper over the time-major Pallas real path (XLA
         transposes + lane padding; Exp 18)."""
-        from .ops.pallas_rfft import rfft_nb, irfft_nb
+        rfft_nb, irfft_nb = self._r2c_nb_fns()
         if inverse:
             xre, xim = x
             xre, xim = self._prep(xre), self._prep(xim)

@@ -66,6 +66,16 @@ LARGE_NB_MIN_N = _int_env("WATFFT_LARGE_NB_MIN_N", 1 << 13)
 # transform resident in VMEM — 4 HBM passes vs the pipeline's 8)
 CUBE_MAX_N = _int_env("WATFFT_CUBE_MAX_N", 1 << 14)
 RFFT_PALLAS_MAX_N = _int_env("WATFFT_RFFT_MAX_N", 16384)  # m=8192 core, Exp 20
+# Sizes where the single-pass fused real kernel (blocked MXU mirror, Exp 32)
+# measured FASTER than the partial-fusion hybrid on chip — the per-size
+# codelet-table pattern (reference: fft_real_f32_dual.wat:2433-2459,
+# re-validated per hardware generation). Roundtrip fused/hybrid ratios:
+# 16: 0.61, 32: 0.79, 64: 0.89, 1024: 0.92, 4096: 0.91 (hybrid wins the
+# others: 128: 1.13, 256: 1.26, 512: 1.14, 2048: 1.14, 8192: 1.42,
+# 16384: 0.99 tie).
+RFFT_FUSED_SIZES = frozenset(
+    int(s) for s in os.environ.get(
+        "WATFFT_RFFT_FUSED_SIZES", "16,32,64,1024,4096").split(",") if s)
 FORCE_INTERPRET = os.environ.get("WATFFT_INTERPRET", "") not in ("", "0", "false")
 
 

@@ -388,7 +388,13 @@ class _JCache:
 
 def rfft_nb_fused(x):
     """Single-pass fused real forward FFT, [n, batch] -> [n//2+1, batch].
-    f32, n >= 16, batch % 128 == 0. The Hermitian mirror rides the MXU."""
+    f32, n >= 16, batch % 128 == 0. The Hermitian mirror rides the MXU.
+    Differentiable (custom VJP — the same adjoint identities as the hybrid
+    path, realized on the fused kernels; see _rfft_fused_diff_bwd)."""
+    return _rfft_fused_diff(x)
+
+
+def _rfft_fused_impl(x):
     n, b = x.shape[-2], x.shape[-1]
     if n < 16:
         raise ValueError("fused rfft requires n >= 16")
@@ -408,7 +414,12 @@ def rfft_nb_fused(x):
 
 
 def irfft_nb_fused(xre, xim):
-    """Single-pass fused inverse real FFT, [m+1, batch] -> [2m, batch]."""
+    """Single-pass fused inverse real FFT, [m+1, batch] -> [2m, batch].
+    Differentiable (custom VJP; see _irfft_fused_diff_bwd)."""
+    return _irfft_fused_diff(xre, xim)
+
+
+def _irfft_fused_impl(xre, xim):
     m1, b = xre.shape[-2], xre.shape[-1]
     m = m1 - 1
     n = 2 * m
@@ -536,3 +547,51 @@ def _irfft_diff_bwd(m, ybar):
 
 
 _irfft_diff.defvjp(_irfft_diff_fwd, _irfft_diff_bwd)
+
+
+# The fused kernels realize the SAME linear maps as the hybrid path (same
+# DC wrap-row convention, literal-zero imag ends on the forward, Nyquist
+# rows read by the inverse), so the adjoint identities above apply verbatim
+# — only the impls differ.
+
+
+@jax.custom_vjp
+def _rfft_fused_diff(x):
+    return _rfft_fused_impl(x)
+
+
+def _rfft_fused_diff_fwd(x):
+    return _rfft_fused_impl(x), x.shape[-2]
+
+
+def _rfft_fused_diff_bwd(n, g):
+    gre, gim = g
+    m = n // 2
+    gre = gre * _ends_mask(m, 2.0, 2.0)
+    gim = gim * _ends_mask(m, 0.0, 0.0)
+    return (jnp.float32(m) * _irfft_fused_impl(gre, gim),)
+
+
+_rfft_fused_diff.defvjp(_rfft_fused_diff_fwd, _rfft_fused_diff_bwd)
+
+
+@jax.custom_vjp
+def _irfft_fused_diff(xre, xim):
+    return _irfft_fused_impl(xre, xim)
+
+
+def _irfft_fused_diff_fwd(xre, xim):
+    return _irfft_fused_impl(xre, xim), xre.shape[-2] - 1
+
+
+def _irfft_fused_diff_bwd(m, ybar):
+    gre, gim = _rfft_fused_impl(ybar)
+    r0 = gre[0:1]
+    rm = gre[m:m + 1]
+    gre = gre * _ends_mask(m, 0.5, 0.5)
+    gim = jnp.concatenate([-0.5 * rm, gim[1:m], -0.5 * r0], axis=0)
+    s = jnp.float32(1.0 / m)
+    return gre * s, gim * s
+
+
+_irfft_fused_diff.defvjp(_irfft_fused_diff_fwd, _irfft_fused_diff_bwd)

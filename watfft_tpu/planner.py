@@ -20,7 +20,10 @@ Decision table (f32, TPU backend):
                                    (Exp 20: the kernel wins 2.31x at 8192 and
                                    1.39x at 16384; its VMEM live set caps it)
 
-  real (rfft)   8 .. 16384         partial-fusion Pallas real path
+  real (rfft)   8 .. 16384         Pallas real path: single-pass fused kernel
+                                   at the per-size codelet-table sizes where
+                                   it measured faster (config.RFFT_FUSED_SIZES,
+                                   Exp 32), partial-fusion hybrid elsewhere
                 otherwise          XLA pack-as-complex + Hermitian post
 
 f64 always takes the four-step XLA path here (CPU device on TPU backends);
@@ -70,8 +73,14 @@ def c2c_kernel(n: int, dtype: str) -> str:
 
 
 def r2c_kernel(n: int, dtype: str) -> str:
-    """'rfft-pallas' (partial-fusion Pallas real path) or 'fourstep'."""
+    """'rfft-pallas-fused' (single-pass fused kernel with the blocked MXU
+    mirror — dispatched at the sizes where it measured faster, the per-size
+    codelet-table pattern of the reference's
+    fft_real_f32_dual.wat:2433-2459), 'rfft-pallas' (partial-fusion hybrid),
+    or 'fourstep'."""
     if (dtype == "float32" and pallas_available()
             and is_power_of_two(n) and 8 <= n <= config.RFFT_PALLAS_MAX_N):
+        if n in config.RFFT_FUSED_SIZES:
+            return "rfft-pallas-fused"
         return "rfft-pallas"
     return "fourstep"
