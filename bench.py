@@ -62,6 +62,8 @@ BENCHED_SURFACES = {
     "mxu-dft",            # small-N MXU alternative
     "rfft-pallas",        # real path sweep
     "rfft-pallas-fused",  # single-pass fused real point
+    "rfft-large",         # large-N real path (n > 16384 dispatch target)
+    "bluestein",          # arbitrary-size chirp-z (non-pow2 fftlib route)
     "doublefloat-pallas", # f64 tier complex point
     "doublefloat-rfft",   # f64 tier real point
     "large-nb",           # batched four-step: the n > 16384 dispatch target
@@ -400,15 +402,27 @@ def main(full: bool = False) -> None:
         print(f"  mxu-dft bench failed: {str(e)[:120]}", file=sys.stderr)
 
     # ---------------- real path (rfft/irfft roundtrip) --------------------
-    from watfft_tpu.ops.pallas_rfft import rfft_nb, irfft_nb
+    # Planner-dispatched kernels (per-size codelet table, Exp 32): fused at
+    # RFFT_FUSED_SIZES (1024/4096 here), hybrid elsewhere (256). Rows are
+    # recorded under the dispatched surface's registry name.
+    from watfft_tpu import planner as _planner
+    from watfft_tpu.ops.pallas_rfft import (rfft_nb, irfft_nb, rfft_nb_fused,
+                                            irfft_nb_fused)
+
+    def _r2c_fns(n):
+        if _planner.r2c_kernel(n, "float32") == "rfft-pallas-fused":
+            return rfft_nb_fused, irfft_nb_fused, "rfft-pallas-fused"
+        return rfft_nb, irfft_nb, "rfft-pallas"
+
     for n in (256, 1024, 4096):
         try:
             b = max(128, TOTAL_ELEMS // n)
+            rf, rif, sname = _r2c_fns(n)
             xr_t = jnp.asarray(rng.uniform(-1, 1, (n, b)).astype(np.float32))
 
             def rstep(c):
-                re, im = rfft_nb(c)
-                return irfft_nb(re, im)
+                re, im = rf(c)
+                return rif(re, im)
             t_r = sorted(time_chain(rstep, xr_t) for _ in range(3))[1]
             # real roundtrip moves ~half the complex traffic (one real plane
             # in, ~two half-length spectrum planes out, per direction)
@@ -420,7 +434,7 @@ def main(full: bool = False) -> None:
                 return jnp.fft.irfft(jnp.fft.rfft(c), n=n)
             t_jr = sorted(time_chain(jrstep, xr) for _ in range(3))[1]
             t_jr = max(t_jr, _roundtrip_floor(xr.size) / 2)
-            record(f"watfft/rfft-pallas/f32/n{n}", t_r, b)
+            record(f"watfft/{sname}/f32/n{n}", t_r, b)
             record(f"jnp.fft/real/f32/n{n}", t_jr, b)
             print(f"  [real] n={n:<6} ours={2*b/t_r:,.0f}/s "
                   f"jnp={2*b/t_jr:,.0f}/s x{t_jr/t_r:.2f}", file=sys.stderr)
@@ -438,13 +452,14 @@ def main(full: bool = False) -> None:
         for n in (1024, 4096):
             b = max(128, TOTAL_ELEMS // n)
             m = n // 2
+            rf, rif, sname = _r2c_fns(n)
             sre_t = jnp.asarray(rng.uniform(-1, 1, (m + 1, b)).astype(np.float32))
             sim_t = jnp.asarray(rng.uniform(-1, 1, (m + 1, b)).astype(np.float32))
 
             def ristep(c):
                 re, im, eps = c
                 re = re.at[0, 0].add(eps)
-                y = irfft_nb(re, im)
+                y = rif(re, im)
                 return re, im, y[0, 0] * 1e-30
 
             xr_t = jnp.asarray(rng.uniform(-1, 1, (n, b)).astype(np.float32))
@@ -452,7 +467,7 @@ def main(full: bool = False) -> None:
             def rfstep(c):
                 x, eps = c
                 x = x.at[0, 0].add(eps)
-                yre, yim = rfft_nb(x)
+                yre, yim = rf(x)
                 return x, yre[0, 0] * 1e-30
 
             sre = jnp.asarray(rng.uniform(-1, 1, (b, m + 1)).astype(np.float32))
@@ -479,7 +494,7 @@ def main(full: bool = False) -> None:
             t_rf_ = sorted(t_rfs)[1]
             t_jri = sorted(t_jris)[1]
             nbytes = 4 * n * b
-            record(f"watfft/rfft-pallas/f32-inv/n{n}", t_ri, b, items=1,
+            record(f"watfft/{sname}/f32-inv/n{n}", t_ri, b, items=1,
                    nbytes=nbytes)
             record(f"jnp.fft/real-inv/f32/n{n}", t_jri, b, items=1,
                    nbytes=nbytes)
@@ -566,6 +581,60 @@ def main(full: bool = False) -> None:
                   f"jnp={2*b/t_j8:,.0f}/s x{t_j8/t_ln:.2f}", file=sys.stderr)
     except Exception as e:
         print(f"  large-nb bench failed: {str(e)[:120]}", file=sys.stderr)
+
+    # ---------------- arbitrary-size chirp-z (Bluestein) ------------------
+    # non-pow2 n: three pow2 transforms on the fast kernels vs jnp.fft's
+    # own arbitrary-n path — the fftlib route for every size the pow2
+    # kernels cannot take directly
+    try:
+        from watfft_tpu.ops.bluestein import bluestein_fft_nb
+        n, b = 1000, 2048
+        xre_t = jnp.asarray(rng.uniform(-1, 1, (n, b)).astype(np.float32))
+        xim_t = jnp.asarray(rng.uniform(-1, 1, (n, b)).astype(np.float32))
+
+        def blstep(c):
+            a, bb = c
+            a, bb = bluestein_fft_nb(a, bb, inverse=False)
+            return bluestein_fft_nb(a, bb, inverse=True)
+        t_bl = sorted(time_chain(blstep, (xre_t, xim_t)) for _ in range(3))[1]
+        xre = jnp.asarray(rng.uniform(-1, 1, (b, n)).astype(np.float32))
+        xim = jnp.asarray(rng.uniform(-1, 1, (b, n)).astype(np.float32))
+
+        def jblstep(c):
+            a, bb = c
+            z = jnp.fft.ifft(jnp.fft.fft(a + 1j * bb))
+            return z.real, z.imag
+        t_jbl = sorted(time_chain(jblstep, (xre, xim)) for _ in range(3))[1]
+        record(f"watfft/bluestein/f32/n{n}", t_bl, b)
+        record(f"jnp.fft/nonpow2/f32/n{n}", t_jbl, b)
+        print(f"  [bluestein] n={n} b={b}: ours={2*b/t_bl:,.0f}/s "
+              f"jnp={2*b/t_jbl:,.0f}/s x{t_jbl/t_bl:.2f}", file=sys.stderr)
+    except Exception as e:
+        print(f"  bluestein bench failed: {str(e)[:120]}", file=sys.stderr)
+
+    # ---------------- large-N real path (planner target n > 16384) -------
+    try:
+        from watfft_tpu.ops.large import rfft_large_nb, irfft_large_nb
+        for n, b in ((32768, 128), (1 << 17, 128)):
+            xr_t = jnp.asarray(rng.uniform(-1, 1, (n, b)).astype(np.float32))
+
+            def rlstep(c):
+                re, im = rfft_large_nb(c)
+                return irfft_large_nb(re, im)
+            t_rl = sorted(time_chain(rlstep, xr_t) for _ in range(3))[1]
+            t_rl = max(t_rl, _roundtrip_floor(xr_t.size) / 2)
+            xr = jnp.asarray(rng.uniform(-1, 1, (b, n)).astype(np.float32))
+
+            def jrlstep(c):
+                return jnp.fft.irfft(jnp.fft.rfft(c), n=n)
+            t_jrl = sorted(time_chain(jrlstep, xr) for _ in range(3))[1]
+            t_jrl = max(t_jrl, _roundtrip_floor(xr.size) / 2)
+            record(f"watfft/rfft-large/f32/n{n}", t_rl, b)
+            record(f"jnp.fft/real/f32/n{n}", t_jrl, b)
+            print(f"  [rfft-large] n={n} b={b}: ours={2*b/t_rl:,.0f}/s "
+                  f"jnp={2*b/t_jrl:,.0f}/s x{t_jrl/t_rl:.2f}", file=sys.stderr)
+    except Exception as e:
+        print(f"  rfft-large bench failed: {str(e)[:120]}", file=sys.stderr)
 
     # ---------------- four-step XLA fallback surface ----------------------
     try:

@@ -88,3 +88,20 @@ def test_rfft_matches_complex_with_zero_imag():
             x.astype(np.complex64)))
         half = np.asarray(registry.flagship("real-forward", "float32").make(n)(x))
         np.testing.assert_allclose(half, full[..., : n // 2 + 1], atol=n * 5e-6)
+
+
+@pytest.mark.parametrize("n", [3, 12, 97, 360])
+def test_bluestein_matches_reference_dft(n):
+    """ops/bluestein.py vs the O(N^2) oracle at arbitrary (non-pow2) n."""
+    import jax.numpy as jnp
+    from watfft_tpu.ops.bluestein import bluestein_fft_nb
+    rng = ref.seeded_rng(n)
+    x = rng.uniform(-1, 1, (n, 2)) + 1j * rng.uniform(-1, 1, (n, 2))
+    re, im = bluestein_fft_nb(jnp.asarray(x.real, jnp.float32),
+                              jnp.asarray(x.imag, jnp.float32))
+    got = np.asarray(re) + 1j * np.asarray(im)
+    expected = np.fft.fft(x, axis=0)
+    err = np.max(np.abs(got - expected)) / np.max(np.abs(expected))
+    assert err < 5e-6, err
+    bre, bim = bluestein_fft_nb(re, im, inverse=True)
+    assert np.max(np.abs((np.asarray(bre) + 1j * np.asarray(bim)) - x)) < 1e-5

@@ -116,3 +116,39 @@ def test_mxu_precision_ladder(monkeypatch):
     ref = np.fft.fft(xre.astype(np.float64) + 1j * xim.astype(np.float64))
     got = np.asarray(re) + 1j * np.asarray(im)
     assert np.max(np.abs(got - ref)) / np.max(np.abs(ref)) < 1e-2
+
+
+@pytest.mark.parametrize("n", [12, 97, 100, 1000])
+def test_arbitrary_size_fft_matches_numpy(n):
+    """Non-pow2 sizes route through the Bluestein chirp-z path (new scope
+    beyond the pow2-only reference) and must match numpy."""
+    rng = np.random.default_rng(n)
+    x = (rng.uniform(-1, 1, (3, n)) + 1j * rng.uniform(-1, 1, (3, n)))
+    got = np.asarray(fftlib.fft(x.astype(np.complex64)))
+    ref = np.fft.fft(x)
+    assert np.max(np.abs(got - ref)) / np.max(np.abs(ref)) < 5e-6
+    got = np.asarray(fftlib.ifft(x.astype(np.complex64), norm="ortho"))
+    ref = np.fft.ifft(x, norm="ortho")
+    assert np.max(np.abs(got - ref)) / np.max(np.abs(ref)) < 5e-6
+
+
+@pytest.mark.parametrize("n", [12, 97, 1000])
+def test_arbitrary_size_rfft_matches_numpy(n):
+    rng = np.random.default_rng(n + 1)
+    x = rng.uniform(-1, 1, (3, n))
+    got = np.asarray(fftlib.rfft(x.astype(np.float32)))
+    ref = np.fft.rfft(x)
+    assert np.max(np.abs(got - ref)) / np.max(np.abs(ref)) < 5e-6
+
+
+@pytest.mark.parametrize("n", [12, 13, 97, 98, 101])
+def test_arbitrary_size_irfft_matches_numpy(n):
+    """Both parities; odd n uses the last bin's imaginary part exactly like
+    numpy (there is no Nyquist bin) — previously a ValueError."""
+    rng = np.random.default_rng(n + 2)
+    m = n // 2 + 1
+    spec = (rng.uniform(-1, 1, (3, m))
+            + 1j * rng.uniform(-1, 1, (3, m))).astype(np.complex64)
+    got = np.asarray(fftlib.irfft(spec, n=n))
+    ref = np.fft.irfft(spec, n=n)
+    assert np.max(np.abs(got - ref)) < 1e-5

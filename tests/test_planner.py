@@ -53,6 +53,10 @@ def test_decision_table_pallas(interpret_mode):
     assert planner.r2c_kernel(256, "float32") == "rfft-pallas"
     assert planner.r2c_kernel(8192, "float32") == "rfft-pallas"
     assert planner.r2c_kernel(4, "float32") == "fourstep"      # below kernel range
+    # past the Stockham ceiling the real path rides the batched four-step
+    assert planner.r2c_kernel(32768, "float32") == "rfft-large"
+    assert planner.r2c_kernel(1 << 21, "float32") == "rfft-large"
+    assert planner.r2c_kernel(1 << 22, "float32") == "fourstep"
     assert planner.r2c_kernel(1024, "float64") == "fourstep"
 
 

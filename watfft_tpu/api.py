@@ -291,8 +291,12 @@ class RFFTContext(_BaseContext):
         fft_real_f32_dual.wat:2433-2459): single-pass fused kernel at the
         sizes where it measured faster on chip, partial-fusion hybrid else."""
         from .ops import pallas_rfft as pr
-        if planner.r2c_kernel(self.size, self.dtype) == "rfft-pallas-fused":
+        k = planner.r2c_kernel(self.size, self.dtype)
+        if k == "rfft-pallas-fused":
             return pr.rfft_nb_fused, pr.irfft_nb_fused
+        if k == "rfft-large":
+            from .ops.large import rfft_large_nb, irfft_large_nb
+            return rfft_large_nb, irfft_large_nb
         return pr.rfft_nb, pr.irfft_nb
 
     def forward_planes_nb(self, x):
@@ -322,12 +326,12 @@ class RFFTContext(_BaseContext):
 
     # -- batch-major [..., n] entry points (planner-dispatched) ---------------
     def forward_planes(self, x):
-        if planner.r2c_kernel(self.size, self.dtype).startswith("rfft-pallas"):
+        if planner.r2c_kernel(self.size, self.dtype).startswith("rfft-"):
             return self._bm_rfft(x, inverse=False)
         return self.forward_planes_fourstep(x)
 
     def inverse_planes(self, xre, xim):
-        if planner.r2c_kernel(self.size, self.dtype).startswith("rfft-pallas"):
+        if planner.r2c_kernel(self.size, self.dtype).startswith("rfft-"):
             return self._bm_rfft((xre, xim), inverse=True)
         return self.inverse_planes_fourstep(xre, xim)
 

@@ -7,15 +7,21 @@ Drop-in switching for code written against jax.numpy.fft:
 
 Supported: fft/ifft/rfft/irfft/fft2/ifft2 with `axis`/`axes` and `norm`
 (None|'backward', 'ortho', 'forward'), plus fftfreq/rfftfreq/fftshift/
-ifftshift utilities. Power-of-two sizes only (ValueError otherwise),
-matching the framework's kernel coverage; `n=` padding/truncation is
-supported like numpy's.
+ifftshift utilities. Power-of-two sizes run the native kernels; ANY other
+size (including odd irfft lengths, with numpy's no-Nyquist semantics)
+routes through the Bluestein chirp-z transform (ops/bluestein.py), which
+itself rides the pow2 kernels — new scope beyond the pow2-only reference.
+`n=` padding/truncation is supported like numpy's.
 
 On TPU backends the complex-dtype plumbing (pad/moveaxis/scale) runs in
 HOST numpy: complex dtypes cannot cross the axon tunnel's device boundary
 and eager complex ops fail there (api._BaseContext documents this). The
 transforms themselves still run on the chip through the plane APIs; for
 fully device-resident pipelines use the split-plane context entry points.
+Measured cost of this convenience (BENCH r3, n=1024 b=2048): one
+`fftlib.fft` call pays ~11x the per-call time of a chained split-plane
+dispatch — the host round-trips, not the transform, dominate. The
+split-plane `*_planes_nb` entry points are the production path on TPU.
 """
 
 from __future__ import annotations
@@ -63,12 +69,37 @@ def _fix_len(xp, x, n, axis):
     return x[tuple(idx)], n
 
 
+def _is_pow2(n: int) -> bool:
+    return n >= 1 and (n & (n - 1)) == 0
+
+
+def _bluestein_bm(moved, inverse: bool, xp):
+    """Batch-major complex transform of arbitrary length via the Bluestein
+    chirp-z path (host plane plumbing, device pow2 kernels — same pattern
+    as the pow2 convenience path on TPU backends)."""
+    from .ops.bluestein import bluestein_fft_nb
+    lead = moved.shape[:-1]
+    n = moved.shape[-1]
+    a2 = np.asarray(moved).astype(np.complex64).reshape(-1, n)
+    re = jnp.asarray(np.ascontiguousarray(a2.real.T))
+    im = jnp.asarray(np.ascontiguousarray(a2.imag.T))
+    ore, oim = bluestein_fft_nb(re, im, inverse=inverse)
+    out = (np.asarray(ore) + 1j * np.asarray(oim)).T.reshape(*lead, n)
+    return xp.asarray(out)
+
+
+def _fft_any(moved, inverse: bool, xp):
+    if _is_pow2(moved.shape[-1]):
+        return api.ifft(moved) if inverse else api.fft(moved)
+    return _bluestein_bm(moved, inverse, xp)
+
+
 def fft(a, n=None, axis=-1, norm=None):
     xp = _xp()
     a = xp.asarray(a)
     a, n = _fix_len(xp, a, n, axis)
     moved = xp.moveaxis(a, axis, -1)
-    out = api.fft(moved)
+    out = _fft_any(moved, False, xp)
     s = _norm_scale(norm, n, "fwd")
     if s != 1.0:
         out = out * s
@@ -80,7 +111,7 @@ def ifft(a, n=None, axis=-1, norm=None):
     a = xp.asarray(a)
     a, n = _fix_len(xp, a, n, axis)
     moved = xp.moveaxis(a, axis, -1)
-    out = api.ifft(moved)
+    out = _fft_any(moved, True, xp)
     s = _norm_scale(norm, n, "inv")
     if s != 1.0:
         out = out * s
@@ -92,25 +123,51 @@ def rfft(a, n=None, axis=-1, norm=None):
     a = xp.asarray(a)
     a, n = _fix_len(xp, a, n, axis)
     moved = xp.moveaxis(a, axis, -1)
-    out = api.rfft(moved)
+    if _is_pow2(n):
+        out = api.rfft(moved)
+    else:
+        # arbitrary length: complex Bluestein on the real signal, keep the
+        # non-negative half-spectrum (numpy's rfft bins)
+        out = _bluestein_bm(moved.astype(np.complex64) if xp is np
+                            else moved.astype(jnp.complex64), False, xp)
+        out = out[..., :n // 2 + 1]
     s = _norm_scale(norm, n, "fwd")
     if s != 1.0:
         out = out * s
     return xp.moveaxis(out, -1, axis)
 
 
+def _irfft_bluestein(moved, n, xp):
+    """Arbitrary-length irfft: reconstruct the full Hermitian spectrum and
+    run the Bluestein inverse; numpy semantics exactly — the imaginary part
+    of bin 0 is ignored, and for EVEN n so is the Nyquist bin's, while for
+    ODD n the last bin's imaginary part is USED (there is no Nyquist bin)."""
+    spec = np.asarray(moved).astype(np.complex64)
+    spec[..., 0] = spec[..., 0].real
+    if n % 2 == 0:
+        spec[..., -1] = spec[..., -1].real
+        mid = spec[..., 1:-1]
+    else:
+        mid = spec[..., 1:]
+    full = np.concatenate([spec, np.conj(mid[..., ::-1])], axis=-1)
+    out = _bluestein_bm(full, True, np)
+    return xp.asarray(out.real)
+
+
 def irfft(a, n=None, axis=-1, norm=None):
     xp = _xp()
     a = xp.asarray(a)
-    if n is not None:
-        # numpy's odd-n irfft USES the last bin's imaginary part (no Nyquist
-        # bin); our packed kernel layout is even/pow2-only, so an odd n would
-        # silently diverge from numpy instead of erroring (ADVICE r2).
-        if n % 2:
-            raise ValueError(
-                f"irfft output length must be even (power of two), got n={n}")
-        m = n // 2 + 1
-        a, _ = _fix_len(xp, a, m, axis)
+    if n is None:
+        n = 2 * (a.shape[axis] - 1)
+    m = n // 2 + 1
+    a, _ = _fix_len(xp, a, m, axis)
+    if not (_is_pow2(n) and n >= 2):
+        moved = xp.moveaxis(a, axis, -1)
+        out = _irfft_bluestein(moved, n, xp)
+        s = _norm_scale(norm, n, "inv")
+        if s != 1.0:
+            out = out * s
+        return xp.moveaxis(out, -1, axis)
     moved = xp.moveaxis(a, axis, -1)
     # numpy semantics: the imaginary parts of the DC and Nyquist bins are
     # ignored (a Hermitian spectrum has real ends); our kernel's composed

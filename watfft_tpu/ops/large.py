@@ -34,7 +34,8 @@ from .pallas_stockham import (stockham_fft_nb, stockham_fft_nb_postmul,
                               stage_plan, make_twiddle_pack, run_stages,
                               _TwCache as _StageTwCache)
 
-__all__ = ["fft_large", "fft_large_nb", "large_split"]
+__all__ = ["fft_large", "fft_large_nb", "large_split",
+           "rfft_large_nb", "irfft_large_nb"]
 
 
 def large_split(n: int) -> tuple[int, int]:
@@ -352,10 +353,10 @@ def fft_large_nb(xre, xim, inverse: bool = False, split=None, tbk=None,
         raise ValueError(
             f"fft_large_nb requires n1 >= 128 (outer lane minimum) and "
             f"n2 >= 64 (got N={n} -> {n1}x{n2}); use the direct kernel")
-    if b & (b - 1):
+    if b & (b - 1) and b % 128 != 0:
         raise ValueError(
-            f"fft_large_nb batch must be a power of two (got {b}); pad the "
-            f"batch axis at the caller")
+            f"fft_large_nb batch must be a power of two or a multiple of 128 "
+            f"(got {b}); pad the batch axis at the caller")
     interpret = config.FORCE_INTERPRET or jax.default_backend() != "tpu"
     if b % 128 == 0:
         pmre, pmim = _TwCache.get(n, n1, n2, inverse)
@@ -389,6 +390,103 @@ def fft_large_nb(xre, xim, inverse: bool = False, split=None, tbk=None,
                                    tbj, interpret)
     twre, twim = _TwCacheTiled.get(n, n1, n2, b, inverse)
     return _fft_large_nb(xre, xim, twre, twim, n1, n2, inverse)
+
+
+def _rfft_large_impl(x):
+    n, b = x.shape[-2], x.shape[-1]
+    m = n // 2
+    # deinterleave z[j] = x[2j] + i*x[2j+1]: a leading-dim [m, 2, b] view +
+    # row selects (XLA relayout passes; the sub-16K Pallas path fuses this
+    # into its kernel, but at m >= 2^13 the four-step core dominates)
+    xv = x.reshape(m, 2, b)
+    zre, zim = fft_large_nb(xv[:, 0, :], xv[:, 1, :])
+    from .pallas_rfft import hermitian_post_nb
+    return hermitian_post_nb(zre, zim, n)
+
+
+def _irfft_large_impl(xre, xim):
+    m1, b = xre.shape[-2], xre.shape[-1]
+    m = m1 - 1
+    n = 2 * m
+    from .pallas_rfft import hermitian_pre_nb
+    zre, zim = hermitian_pre_nb(xre, xim, n)
+    # native normalized m-point inverse (1/m folded into the kernels)
+    yre, yim = fft_large_nb(zre, zim, inverse=True)
+    # re-interleave Re/Im as even/odd samples
+    return jnp.stack([yre, yim], axis=1).reshape(n, b)
+
+
+def rfft_large_nb(x):
+    """Large-N real forward FFT on time-major [n, batch] planes (f32):
+    pack-as-complex with the m = n/2 core on the batched four-step
+    (fft_large_nb), Hermitian recombination in XLA. Domain: n = 2m with m in
+    fft_large_nb's range, i.e. n >= 2^14 (and batch constraints per
+    fft_large_nb). Extends the real surface past the Stockham kernel's
+    ceiling — the reference's real path stops at 16K points
+    (fft_real_f32_dual.wat memory layout). Differentiable (custom VJP with
+    the same adjoint identities as the Pallas real path)."""
+    return _rfft_large_diff(x)
+
+
+def irfft_large_nb(xre, xim):
+    """Large-N inverse real FFT, [m+1, batch] -> [2m, batch] (normalized).
+    Differentiable (custom VJP)."""
+    return _irfft_large_diff(xre, xim)
+
+
+# Custom VJPs: same adjoint identities as the hybrid Pallas real path
+# (ops/pallas_rfft.py) — the composed maps are identical, only the m-point
+# core implementation differs, and the adjoints collapse back onto the
+# large-path kernels themselves.
+
+
+def _large_ends_mask(m: int, re0: float, rem: float):
+    s = np.full((m + 1, 1), 1.0, np.float32)
+    s[0] = re0
+    s[m] = rem
+    return jnp.asarray(s)
+
+
+@jax.custom_vjp
+def _rfft_large_diff(x):
+    return _rfft_large_impl(x)
+
+
+def _rfft_large_diff_fwd(x):
+    return _rfft_large_impl(x), x.shape[-2]
+
+
+def _rfft_large_diff_bwd(n, g):
+    gre, gim = g
+    m = n // 2
+    gre = gre * _large_ends_mask(m, 2.0, 2.0)
+    gim = gim * _large_ends_mask(m, 0.0, 0.0)
+    return (jnp.float32(m) * _irfft_large_impl(gre, gim),)
+
+
+_rfft_large_diff.defvjp(_rfft_large_diff_fwd, _rfft_large_diff_bwd)
+
+
+@jax.custom_vjp
+def _irfft_large_diff(xre, xim):
+    return _irfft_large_impl(xre, xim)
+
+
+def _irfft_large_diff_fwd(xre, xim):
+    return _irfft_large_impl(xre, xim), xre.shape[-2] - 1
+
+
+def _irfft_large_diff_bwd(m, ybar):
+    gre, gim = _rfft_large_impl(ybar)
+    r0 = gre[0:1]
+    rm = gre[m:m + 1]
+    gre = gre * _large_ends_mask(m, 0.5, 0.5)
+    gim = jnp.concatenate([-0.5 * rm, gim[1:m], -0.5 * r0], axis=0)
+    s = jnp.float32(1.0 / m)
+    return gre * s, gim * s
+
+
+_irfft_large_diff.defvjp(_irfft_large_diff_fwd, _irfft_large_diff_bwd)
 
 
 def fft_large(xre, xim, inverse: bool = False):

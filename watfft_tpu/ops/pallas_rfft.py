@@ -162,23 +162,14 @@ def rfft_nb(x):
     return _rfft_diff(x)
 
 
-def _rfft_impl(x):
-    n, b = x.shape[-2], x.shape[-1]
-    if b % 128 != 0:
-        raise ValueError(f"batch (last axis) must be a multiple of 128, got {b}")
+def hermitian_post_nb(zre, zim, n):
+    """Hermitian recombination on time-major [m, b] core planes -> [m+1, b]
+    spectrum planes, lean form: one flip, one 3-part concat.
+    Core rows k = 1..m-1 use A = Z[k], B = Z[m-k]; DC and Nyquist come
+    from Z[0] alone: X[0] = Re(Z0)+Im(Z0), X[m] = Re(Z0)-Im(Z0) (real).
+    Shared by the hybrid Pallas path and the large-N four-step real path."""
     m = n // 2
     wre, wim = _Cache.get(n, False)
-    # fused deinterleave + m-point core: one kernel, one HBM read of x
-    sre, sim = _TwCache.get(m, False)
-    tile_b = _pick_tile(m, b)
-    if b % tile_b != 0:
-        tile_b = 128
-    interpret = config.FORCE_INTERPRET or jax.default_backend() != "tpu"
-    zre, zim = _rfft_core_call(x, jnp.asarray(sre), jnp.asarray(sim), n,
-                               tile_b, interpret=interpret)
-    # Hermitian recombination, lean form: one flip, one 3-part concat.
-    # Core rows k = 1..m-1 use A = Z[k], B = Z[m-k]; DC and Nyquist come
-    # from Z[0] alone: X[0] = Re(Z0)+Im(Z0), X[m] = Re(Z0)-Im(Z0) (real).
     are, aim = zre[1:], zim[1:]
     bre = jnp.flip(zre[1:], axis=0)
     bim = jnp.flip(zim[1:], axis=0)
@@ -196,6 +187,22 @@ def _rfft_impl(x):
     zero = jnp.zeros_like(z0re)
     xim = jnp.concatenate([zero, xim_core, zero], axis=0)
     return xre, xim
+
+
+def _rfft_impl(x):
+    n, b = x.shape[-2], x.shape[-1]
+    if b % 128 != 0:
+        raise ValueError(f"batch (last axis) must be a multiple of 128, got {b}")
+    m = n // 2
+    # fused deinterleave + m-point core: one kernel, one HBM read of x
+    sre, sim = _TwCache.get(m, False)
+    tile_b = _pick_tile(m, b)
+    if b % tile_b != 0:
+        tile_b = 128
+    interpret = config.FORCE_INTERPRET or jax.default_backend() != "tpu"
+    zre, zim = _rfft_core_call(x, jnp.asarray(sre), jnp.asarray(sim), n,
+                               tile_b, interpret=interpret)
+    return hermitian_post_nb(zre, zim, n)
 
 
 # ---------------------------------------------------------------------------
@@ -446,12 +453,11 @@ def irfft_nb(xre, xim):
     return _irfft_diff(xre, xim)
 
 
-def _irfft_impl(xre, xim):
-    m1, b = xre.shape[-2], xre.shape[-1]
-    m = m1 - 1
-    n = 2 * m
-    if b % 128 != 0:
-        raise ValueError(f"batch (last axis) must be a multiple of 128, got {b}")
+def hermitian_pre_nb(xre, xim, n):
+    """Inverse pre-process on time-major [m+1, b] spectrum planes -> [m, b]
+    core planes (to be fed to a normalized m-point inverse FFT). Shared by
+    the hybrid Pallas path and the large-N four-step real path."""
+    m = n // 2
     wre, wim = _Cache.get(n, True)
     # A = X[0:m]; B = conj(X[m-k]) for k = 0..m-1
     are, aim = xre[:m], xim[:m]
@@ -465,6 +471,16 @@ def _irfft_impl(xre, xim):
     oim = 0.5 * dre
     zre = ere + wre * ore - wim * oim
     zim = eim + wre * oim + wim * ore
+    return zre, zim
+
+
+def _irfft_impl(xre, xim):
+    m1, b = xre.shape[-2], xre.shape[-1]
+    m = m1 - 1
+    n = 2 * m
+    if b % 128 != 0:
+        raise ValueError(f"batch (last axis) must be a multiple of 128, got {b}")
+    zre, zim = hermitian_pre_nb(xre, xim, n)
     # fused inverse core + row interleave: one kernel, one HBM write of x
     sre, sim = _TwCache.get(m, True)
     tile_b = _pick_tile(m, b)

@@ -78,9 +78,14 @@ def r2c_kernel(n: int, dtype: str) -> str:
     codelet-table pattern of the reference's
     fft_real_f32_dual.wat:2433-2459), 'rfft-pallas' (partial-fusion hybrid),
     or 'fourstep'."""
-    if (dtype == "float32" and pallas_available()
-            and is_power_of_two(n) and 8 <= n <= config.RFFT_PALLAS_MAX_N):
-        if n in config.RFFT_FUSED_SIZES:
-            return "rfft-pallas-fused"
-        return "rfft-pallas"
+    if dtype == "float32" and pallas_available() and is_power_of_two(n):
+        if 8 <= n <= config.RFFT_PALLAS_MAX_N:
+            if n in config.RFFT_FUSED_SIZES:
+                return "rfft-pallas-fused"
+            return "rfft-pallas"
+        # past the Stockham kernel's ceiling: pack-as-complex on the batched
+        # four-step core (m = n/2 in large-nb's domain) — the reference's
+        # real path stops at 16K points entirely
+        if config.RFFT_PALLAS_MAX_N < n <= 2 * config.LARGE_NB_MAX_N:
+            return "rfft-large"
     return "fourstep"

@@ -202,6 +202,30 @@ def _mk_stockham_bf16(direction: str):
     return make
 
 
+def _mk_bluestein(direction: str):
+    """Arbitrary-size chirp-z surface (ops/bluestein.py): any n via three
+    pow2 transforms on the fast kernels — new scope beyond the pow2-only
+    reference. Registered at pow2 sizes for the sweep meta-tests; the
+    fftlib namespace dispatches non-pow2 sizes here."""
+    import jax.numpy as jnp
+    from .ops.bluestein import bluestein_fft_nb
+
+    def make(n: int):
+        def run(x):
+            x = np.asarray(x)
+            squeeze = x.ndim == 1
+            x = np.atleast_2d(x).astype(np.complex64)
+            b = x.shape[0]
+            yre, yim = bluestein_fft_nb(
+                jnp.asarray(np.ascontiguousarray(x.real.T), jnp.float32),
+                jnp.asarray(np.ascontiguousarray(x.imag.T), jnp.float32),
+                inverse=(direction == "inverse"))
+            out = (np.asarray(yre)[:, :b] + 1j * np.asarray(yim)[:, :b]).T
+            return out[0] if squeeze else out
+        return run
+    return make
+
+
 def _mk_rfft_pallas(direction: str):
     """Fused Pallas real-FFT surface (f32, time-major); adapter as above."""
     import jax.numpy as jnp
@@ -228,6 +252,39 @@ def _mk_rfft_pallas(direction: str):
                 xre[:, :b] = x2.real.T
                 xim[:, :b] = x2.imag.T
                 out = np.asarray(irfft_nb(jnp.asarray(xre), jnp.asarray(xim)))[:, :b].T
+            return out[0] if squeeze else out
+        return run
+    return make
+
+
+def _mk_rfft_large(direction: str):
+    """Large-N real surface: pack-as-complex on the batched four-step core
+    (ops/large.rfft_large_nb); adapter as above."""
+    import jax.numpy as jnp
+    from .ops.large import rfft_large_nb, irfft_large_nb
+
+    def make(n: int):
+        m = n // 2
+
+        def run(x):
+            x = np.asarray(x)
+            squeeze = x.ndim == 1
+            x2 = np.atleast_2d(x)
+            b = x2.shape[0]
+            bp = max(128, ((b + 127) // 128) * 128)
+            if direction == "forward":
+                xt = np.zeros((n, bp), np.float32)
+                xt[:, :b] = np.real(x2).T
+                yre, yim = rfft_large_nb(jnp.asarray(xt))
+                out = (np.asarray(yre)[:, :b] + 1j * np.asarray(yim)[:, :b]).T
+            else:
+                x2 = x2.astype(np.complex64)
+                xre = np.zeros((m + 1, bp), np.float32)
+                xim = np.zeros((m + 1, bp), np.float32)
+                xre[:, :b] = x2.real.T
+                xim[:, :b] = x2.imag.T
+                out = np.asarray(irfft_large_nb(jnp.asarray(xre),
+                                                jnp.asarray(xim)))[:, :b].T
             return out[0] if squeeze else out
         return run
     return make
@@ -429,6 +486,22 @@ def _build_registry() -> list[SurfaceEntry]:
             name="rfft-pallas-fused", surface=surface, dtype="float32",
             min_size=16, max_size=4096, flagship=False, baseline=False,
             make=_mk_rfft_fused(direction)))
+    for surface, direction in (("complex-forward", "forward"),
+                               ("complex-inverse", "inverse")):
+        # arbitrary-size chirp-z surface (pow2 sizes here for the sweep
+        # meta-tests; fftlib routes non-pow2 sizes through it)
+        out.append(SurfaceEntry(
+            name="bluestein", surface=surface, dtype="float32",
+            min_size=16, max_size=4096, flagship=False, baseline=False,
+            make=_mk_bluestein(direction)))
+    for surface, direction in (("real-forward", "forward"),
+                               ("real-inverse", "inverse")):
+        # large-N real path: m = n/2 core on the batched four-step — the
+        # planner's real dispatch target past the Stockham ceiling
+        out.append(SurfaceEntry(
+            name="rfft-large", surface=surface, dtype="float32",
+            min_size=1 << 15, max_size=1 << 21, flagship=False, baseline=False,
+            make=_mk_rfft_large(direction)))
     for surface, inverse in (("complex-forward", False),
                              ("complex-inverse", True)):
         # MXU DFT-matmul small-N path (Exp 17): loses to the VPU Stockham
