@@ -75,6 +75,27 @@ def _roundtrip_floor(plane_elems: int) -> float:
     return (4 * plane_elems * 4) / HBM_BW_PER_DIR
 
 
+def _paired(time_chain, ours_step, ours_args, base_step, base_args,
+            reps=3, floor_ours=0.0, **chain_kw):
+    """Paired-interleaved timing (the round-2 methodology, applied to EVERY
+    comparison section in round 3): each rep measures OURS then BASELINE
+    back-to-back — seconds apart, far inside the tunnel's hour-scale drift —
+    and the reported speedup is the MEDIAN OF PAIRED RATIOS, which cancels
+    common-mode drift. Sections that timed each side separately (3 sorted
+    medians each) showed +-15-30% cross-run swings (Exp 33's [real] n=256:
+    1.9-3.4x); pairing bounds that. Only OUR side is clamped (ADVICE r2).
+    Returns (t_ours, t_base, ratio) — medians over reps."""
+    ratios, t_os, t_bs = [], [], []
+    for _ in range(reps):
+        t_o = max(time_chain(ours_step, ours_args, **chain_kw), floor_ours)
+        t_b = time_chain(base_step, base_args, **chain_kw)
+        ratios.append(t_b / t_o)
+        t_os.append(t_o)
+        t_bs.append(t_b)
+    mid = reps // 2
+    return sorted(t_os)[mid], sorted(t_bs)[mid], sorted(ratios)[mid]
+
+
 def main(full: bool = False) -> None:
     import jax
     import jax.numpy as jnp
@@ -142,17 +163,9 @@ def main(full: bool = False) -> None:
                 a, bb = stockham_fft_nb(a, bb, inverse=False)
                 return stockham_fft_nb(a, bb, inverse=True)
             reps = 9 if n <= 64 else (5 if n <= 512 else 3)
-            floor = _roundtrip_floor(xre_t.size)
-            ratios, t_os, t_js = [], [], []
-            for _ in range(reps):
-                t_o = max(time_chain(pstep, (xre_t, xim_t)), floor)
-                t_j = time_chain(jstep, (xre, xim))
-                ratios.append(t_j / t_o)
-                t_os.append(t_o)
-                t_js.append(t_j)
-            speedup = sorted(ratios)[reps // 2]
-            t_ours = sorted(t_os)[reps // 2]
-            t_base = sorted(t_js)[reps // 2]
+            t_ours, t_base, speedup = _paired(
+                time_chain, pstep, (xre_t, xim_t), jstep, (xre, xim),
+                reps=reps, floor_ours=_roundtrip_floor(xre_t.size))
         except Exception as e:
             print(f"  n={n}: pallas failed ({str(e)[:80]}), using fourstep",
                   file=sys.stderr)
@@ -212,21 +225,14 @@ def main(full: bool = False) -> None:
                 a, bb = c
                 z = jnp.fft.ifft(jnp.fft.fft(a + 1j * bb))
                 return z.real, z.imag
-            floor = _roundtrip_floor(xre_t.size)
-            ratios, t_xs, t_jxs = [], [], []
-            for _ in range(3):
-                t_x = max(time_chain(pstep, (xre_t, xim_t)), floor)
-                t_jx = time_chain(jstep2, (xre, xim))
-                ratios.append(t_jx / t_x)
-                t_xs.append(t_x)
-                t_jxs.append(t_jx)
-            t_x = sorted(t_xs)[1]
-            t_jx = sorted(t_jxs)[1]
+            t_x, t_jx, ratio = _paired(
+                time_chain, pstep, (xre_t, xim_t), jstep2, (xre, xim),
+                reps=3, floor_ours=_roundtrip_floor(xre_t.size))
             nbytes = 16 * n * b
             record(f"watfft/{surf}/f32/n{n}", t_x, b, nbytes=nbytes)
             record(f"jnp.fft/f32/n{n}", t_jx, b, nbytes=nbytes)
             print(f"  [ext] n={n:<6} ours({surf})={2*b/t_x:,.0f}/s "
-                  f"jnp={2*b/t_jx:,.0f}/s x{sorted(ratios)[1]:.2f}",
+                  f"jnp={2*b/t_jx:,.0f}/s x{ratio:.2f}",
                   file=sys.stderr)
         except Exception as e:
             print(f"  ext n={n} bench failed: {str(e)[:120]}", file=sys.stderr)
@@ -285,21 +291,24 @@ def main(full: bool = False) -> None:
     # must land within ~1.2x of the raw time-major kernel.
     t_d = 0.0
     try:
-        n, b = 1024, 2048
-        ctx = FFTContext(n, "float32")
-        xre = jnp.asarray(rng.uniform(-1, 1, (b, n)).astype(np.float32))
-        xim = jnp.asarray(rng.uniform(-1, 1, (b, n)).astype(np.float32))
+        for n in (64, 1024, 4096):
+            b = max(128, TOTAL_ELEMS // n)
+            ctx = FFTContext(n, "float32")
+            xre = jnp.asarray(rng.uniform(-1, 1, (b, n)).astype(np.float32))
+            xim = jnp.asarray(rng.uniform(-1, 1, (b, n)).astype(np.float32))
 
-        def dstep(c):
-            a, bb = c
-            a, bb = ctx.forward_planes(a, bb)
-            return ctx.inverse_planes(a, bb)
-        t_d = sorted(time_chain(dstep, (xre, xim)) for _ in range(3))[1]
-        t_d = max(t_d, _roundtrip_floor(xre.size))
-        rel = t_d / raw_times[n]
-        record(f"watfft/dispatch/f32/n{n}", t_d, b)
-        print(f"  [dispatch] n={n} b={b}: {2*b/t_d:,.0f}/s "
-              f"({rel:.2f}x raw kernel time)", file=sys.stderr)
+            def dstep(c, ctx=ctx):
+                a, bb = c
+                a, bb = ctx.forward_planes(a, bb)
+                return ctx.inverse_planes(a, bb)
+            t_dn = sorted(time_chain(dstep, (xre, xim)) for _ in range(3))[1]
+            t_dn = max(t_dn, _roundtrip_floor(xre.size))
+            rel = t_dn / raw_times[n]
+            record(f"watfft/dispatch/f32/n{n}", t_dn, b, nbytes=16 * n * b)
+            print(f"  [dispatch] n={n} b={b}: {2*b/t_dn:,.0f}/s "
+                  f"({rel:.2f}x raw kernel time)", file=sys.stderr)
+            if n == 1024:
+                t_d = t_dn
     except Exception as e:
         print(f"  dispatch bench failed: {str(e)[:120]}", file=sys.stderr)
 
@@ -423,21 +432,24 @@ def main(full: bool = False) -> None:
             def rstep(c):
                 re, im = rf(c)
                 return rif(re, im)
-            t_r = sorted(time_chain(rstep, xr_t) for _ in range(3))[1]
-            # real roundtrip moves ~half the complex traffic (one real plane
-            # in, ~two half-length spectrum planes out, per direction)
-            t_r = max(t_r, _roundtrip_floor(xr_t.size) / 2)
 
             xr = jnp.asarray(rng.uniform(-1, 1, (b, n)).astype(np.float32))
 
             def jrstep(c):
                 return jnp.fft.irfft(jnp.fft.rfft(c), n=n)
-            t_jr = sorted(time_chain(jrstep, xr) for _ in range(3))[1]
-            t_jr = max(t_jr, _roundtrip_floor(xr.size) / 2)
-            record(f"watfft/{sname}/f32/n{n}", t_r, b)
-            record(f"jnp.fft/real/f32/n{n}", t_jr, b)
+            # real roundtrip moves ~half the complex traffic (one real plane
+            # in, ~two half-length spectrum planes out, per direction);
+            # n=256 gets extra reps — it measured the widest cross-run swing
+            # (Exp 33: 1.9-3.4x)
+            t_r, t_jr, ratio = _paired(
+                time_chain, rstep, xr_t, jrstep, xr,
+                reps=5 if n <= 256 else 3,
+                floor_ours=_roundtrip_floor(xr_t.size) / 2)
+            nbytes = 8 * n * b  # ~2 duplex passes/direction (matches floor)
+            record(f"watfft/{sname}/f32/n{n}", t_r, b, nbytes=nbytes)
+            record(f"jnp.fft/real/f32/n{n}", t_jr, b, nbytes=nbytes)
             print(f"  [real] n={n:<6} ours={2*b/t_r:,.0f}/s "
-                  f"jnp={2*b/t_jr:,.0f}/s x{t_jr/t_r:.2f}", file=sys.stderr)
+                  f"jnp={2*b/t_jr:,.0f}/s x{ratio:.2f}", file=sys.stderr)
         except Exception as e:
             print(f"  real n={n} bench failed: {str(e)[:120]}", file=sys.stderr)
 
@@ -563,9 +575,6 @@ def main(full: bool = False) -> None:
                 a, bb = c
                 a, bb = fft_large_nb(a, bb, inverse=False)
                 return fft_large_nb(a, bb, inverse=True)
-            t_ln = sorted(time_chain(lnstep, (xre_t, xim_t))
-                          for _ in range(3))[1]
-            t_ln = max(t_ln, _roundtrip_floor(xre_t.size))
             xre = jnp.asarray(rng.uniform(-1, 1, (b, n)).astype(np.float32))
             xim = jnp.asarray(rng.uniform(-1, 1, (b, n)).astype(np.float32))
 
@@ -573,12 +582,14 @@ def main(full: bool = False) -> None:
                 a, bb = c
                 z = jnp.fft.ifft(jnp.fft.fft(a + 1j * bb))
                 return z.real, z.imag
-            t_j8 = sorted(time_chain(jstep8, (xre, xim)) for _ in range(3))[1]
-            t_j8 = max(t_j8, _roundtrip_floor(xre.size))
-            record(f"watfft/large-nb/f32/n{n}", t_ln, b)
-            record(f"jnp.fft/f32/n{n}", t_j8, b)
+            t_ln, t_j8, ratio = _paired(
+                time_chain, lnstep, (xre_t, xim_t), jstep8, (xre, xim),
+                reps=3, floor_ours=_roundtrip_floor(xre_t.size))
+            nbytes = 16 * n * b
+            record(f"watfft/large-nb/f32/n{n}", t_ln, b, nbytes=nbytes)
+            record(f"jnp.fft/f32/n{n}", t_j8, b, nbytes=nbytes)
             print(f"  [large-nb] n={n} b={b}: ours={2*b/t_ln:,.0f}/s "
-                  f"jnp={2*b/t_j8:,.0f}/s x{t_j8/t_ln:.2f}", file=sys.stderr)
+                  f"jnp={2*b/t_j8:,.0f}/s x{ratio:.2f}", file=sys.stderr)
     except Exception as e:
         print(f"  large-nb bench failed: {str(e)[:120]}", file=sys.stderr)
 
@@ -596,7 +607,6 @@ def main(full: bool = False) -> None:
             a, bb = c
             a, bb = bluestein_fft_nb(a, bb, inverse=False)
             return bluestein_fft_nb(a, bb, inverse=True)
-        t_bl = sorted(time_chain(blstep, (xre_t, xim_t)) for _ in range(3))[1]
         xre = jnp.asarray(rng.uniform(-1, 1, (b, n)).astype(np.float32))
         xim = jnp.asarray(rng.uniform(-1, 1, (b, n)).astype(np.float32))
 
@@ -604,11 +614,12 @@ def main(full: bool = False) -> None:
             a, bb = c
             z = jnp.fft.ifft(jnp.fft.fft(a + 1j * bb))
             return z.real, z.imag
-        t_jbl = sorted(time_chain(jblstep, (xre, xim)) for _ in range(3))[1]
+        t_bl, t_jbl, ratio = _paired(
+            time_chain, blstep, (xre_t, xim_t), jblstep, (xre, xim), reps=3)
         record(f"watfft/bluestein/f32/n{n}", t_bl, b)
         record(f"jnp.fft/nonpow2/f32/n{n}", t_jbl, b)
         print(f"  [bluestein] n={n} b={b}: ours={2*b/t_bl:,.0f}/s "
-              f"jnp={2*b/t_jbl:,.0f}/s x{t_jbl/t_bl:.2f}", file=sys.stderr)
+              f"jnp={2*b/t_jbl:,.0f}/s x{ratio:.2f}", file=sys.stderr)
     except Exception as e:
         print(f"  bluestein bench failed: {str(e)[:120]}", file=sys.stderr)
 
@@ -621,18 +632,18 @@ def main(full: bool = False) -> None:
             def rlstep(c):
                 re, im = rfft_large_nb(c)
                 return irfft_large_nb(re, im)
-            t_rl = sorted(time_chain(rlstep, xr_t) for _ in range(3))[1]
-            t_rl = max(t_rl, _roundtrip_floor(xr_t.size) / 2)
             xr = jnp.asarray(rng.uniform(-1, 1, (b, n)).astype(np.float32))
 
             def jrlstep(c):
                 return jnp.fft.irfft(jnp.fft.rfft(c), n=n)
-            t_jrl = sorted(time_chain(jrlstep, xr) for _ in range(3))[1]
-            t_jrl = max(t_jrl, _roundtrip_floor(xr.size) / 2)
-            record(f"watfft/rfft-large/f32/n{n}", t_rl, b)
-            record(f"jnp.fft/real/f32/n{n}", t_jrl, b)
+            t_rl, t_jrl, ratio = _paired(
+                time_chain, rlstep, xr_t, jrlstep, xr, reps=3,
+                floor_ours=_roundtrip_floor(xr_t.size) / 2)
+            nbytes = 8 * n * b
+            record(f"watfft/rfft-large/f32/n{n}", t_rl, b, nbytes=nbytes)
+            record(f"jnp.fft/real/f32/n{n}", t_jrl, b, nbytes=nbytes)
             print(f"  [rfft-large] n={n} b={b}: ours={2*b/t_rl:,.0f}/s "
-                  f"jnp={2*b/t_jrl:,.0f}/s x{t_jrl/t_rl:.2f}", file=sys.stderr)
+                  f"jnp={2*b/t_jrl:,.0f}/s x{ratio:.2f}", file=sys.stderr)
     except Exception as e:
         print(f"  rfft-large bench failed: {str(e)[:120]}", file=sys.stderr)
 
@@ -663,19 +674,49 @@ def main(full: bool = False) -> None:
             re, im = rfft_nb(c)
             # keep carry shape [n, b]: drop the extra bin row
             return jnp.concatenate([re[:-1], im[:-1]], axis=0)[:n]
-        t_s = sorted(time_chain(sstep, xr_t) for _ in range(3))[1]
         xr = jnp.asarray(rng.uniform(-1, 1, (b, n)).astype(np.float32))
 
         def jstft(c):
             y = jnp.fft.rfft(c)
             return jnp.concatenate([y.real[:, :-1], y.imag[:, :-1]], axis=1)[:, :n]
-        t_js = sorted(time_chain(jstft, xr) for _ in range(3))[1]
+        t_s, t_js, ratio = _paired(time_chain, sstep, xr_t, jstft, xr, reps=3)
         print(f"  [stft-4096x1024] ours={b/t_s:,.0f}/s jnp={b/t_js:,.0f}/s "
-              f"x{t_js/t_s:.2f}", file=sys.stderr)
+              f"x{ratio:.2f}", file=sys.stderr)
         record("watfft/stft-workload/f32/n1024", t_s, b, items=1)
         record("jnp.fft/stft-workload/f32/n1024", t_js, b, items=1)
     except Exception as e:
         print(f"  stft bench failed: {str(e)[:120]}", file=sys.stderr)
+
+    # ---------------- single-chip 2D FFT (fft2) ----------------------------
+    # separable row/column passes on the flagship kernel with one transpose
+    # (ops/fft2.py) vs jnp.fft.fft2 — the single-chip face of BASELINE
+    # config 5's 2D axis (the mesh-sharded version is validated in the
+    # driver dryrun; it cannot be timed on one chip)
+    try:
+        from watfft_tpu.ops.fft2 import fft2_planes
+        bb2, h2, w2 = 32, 256, 256
+        zre = jnp.asarray(rng.uniform(-1, 1, (bb2, h2, w2)).astype(np.float32))
+        zim = jnp.asarray(rng.uniform(-1, 1, (bb2, h2, w2)).astype(np.float32))
+
+        def f2step(c):
+            a, bbx = c
+            a, bbx = fft2_planes(a, bbx, inverse=False)
+            return fft2_planes(a, bbx, inverse=True)
+
+        def jf2step(c):
+            a, bbx = c
+            z = jnp.fft.ifft2(jnp.fft.fft2(a + 1j * bbx))
+            return z.real, z.imag
+        t_f2, t_jf2, ratio = _paired(
+            time_chain, f2step, (zre, zim), jf2step, (zre, zim), reps=3,
+            floor_ours=2 * _roundtrip_floor(zre.size))  # 2 passes/direction
+        nbytes = 32 * bb2 * h2 * w2  # 4 duplex plane-pair passes roundtrip
+        record(f"watfft/fft2-planes/f32/{h2}x{w2}", t_f2, bb2, nbytes=nbytes)
+        record(f"jnp.fft/fft2/f32/{h2}x{w2}", t_jf2, bb2, nbytes=nbytes)
+        print(f"  [fft2] {h2}x{w2} b={bb2}: ours={2*bb2/t_f2:,.0f}/s "
+              f"jnp={2*bb2/t_jf2:,.0f}/s x{ratio:.2f}", file=sys.stderr)
+    except Exception as e:
+        print(f"  fft2 bench failed: {str(e)[:120]}", file=sys.stderr)
 
     # ---------------- large-N four-step (BASELINE config 5) ---------------
     from watfft_tpu.ops.large import fft_large
@@ -689,17 +730,16 @@ def main(full: bool = False) -> None:
                 a, bb = c
                 a, bb = fft_large(a, bb, inverse=False)
                 return fft_large(a, bb, inverse=True)
-            t_l = sorted(time_chain(lstep, (xs, ys), r1=16, r2=96)
-                         for _ in range(3))[1]
 
             def jlstep(c):
                 a, bb = c
                 z = jnp.fft.ifft(jnp.fft.fft(a + 1j * bb))
                 return z.real, z.imag
-            t_jl = sorted(time_chain(jlstep, (xs, ys), r1=16, r2=96)
-                          for _ in range(3))[1]
+            t_l, t_jl, ratio = _paired(
+                time_chain, lstep, (xs, ys), jlstep, (xs, ys),
+                reps=3, r1=16, r2=96)
             print(f"  [large] 2^{log} ours={t_l*1e6:,.0f}us "
-                  f"jnp={t_jl*1e6:,.0f}us x{t_jl/t_l:.2f}", file=sys.stderr)
+                  f"jnp={t_jl*1e6:,.0f}us x{ratio:.2f}", file=sys.stderr)
             record(f"watfft/fft-large/f32/n{nn}", t_l, 1)
             record(f"jnp.fft/fft-large/f32/n{nn}", t_jl, 1)
         except Exception as e:

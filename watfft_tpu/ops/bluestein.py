@@ -32,6 +32,8 @@ import functools
 import numpy as np
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from .. import config
 
@@ -74,6 +76,143 @@ class _ChirpCache:
         return cls._c[key]
 
 
+# -- fused chirp kernels (round-3 Exp 34) -------------------------------------
+# XLA cannot fuse elementwise work into a pallas_call, so the naive pipeline
+# pays separate HBM passes for the pre-chirp multiply + zero-pad, the
+# mid-spectrum multiply, and the final chirp multiply (~2.5 extra full
+# m-plane passes — measured 1.56-1.78x vs jnp at n=1000/1009). These two
+# kernels fold ALL of that into the two m-point transforms: the forward
+# kernel zero-extends n->m and applies the chirp IN VMEM and multiplies by
+# the convolution spectrum in its store epilogue; the inverse kernel applies
+# the final chirp while storing only the first n rows. Chirp/spectrum ride
+# as [rows, 1] VMEM tables exactly like twiddle columns — negligible traffic.
+
+
+def _bl_fwd_kernel(n, m, offsets, stages,
+                   xre_ref, xim_ref, twre_ref, twim_ref,
+                   cre_ref, cim_ref, bre_ref, bim_ref, ore_ref, oim_ref):
+    from .pallas_stockham import run_stages
+    xr = xre_ref[:]
+    xi = xim_ref[:]
+    cr = cre_ref[:]                      # [n, 1] chirp c_t
+    ci = cim_ref[:]
+    ar = xr * cr - xi * ci
+    ai = xr * ci + xi * cr
+    tile = xr.shape[-1]
+    z = jnp.zeros((m - n, tile), jnp.float32)
+    ar = jnp.concatenate([ar, z], axis=0)
+    ai = jnp.concatenate([ai, z], axis=0)
+    ar, ai = run_stages(ar, ai, m, False, offsets, stages,
+                        twre_ref[:], twim_ref[:])
+    br = bre_ref[:]                      # [m, 1] conv-kernel spectrum B
+    bi = bim_ref[:]
+    ore_ref[:] = ar * br - ai * bi
+    oim_ref[:] = ar * bi + ai * br
+
+
+def _bl_inv_kernel(n, m, offsets, stages,
+                   xre_ref, xim_ref, twre_ref, twim_ref,
+                   cre_ref, cim_ref, ore_ref, oim_ref):
+    from .pallas_stockham import run_stages
+    ar = xre_ref[:]
+    ai = xim_ref[:]
+    # inverse stages fold the native 1/m; the [n, 1] chirp table carries any
+    # extra bluestein-inverse 1/n (folded on the host)
+    ar, ai = run_stages(ar, ai, m, True, offsets, stages,
+                        twre_ref[:], twim_ref[:])
+    ar = ar[:n]
+    ai = ai[:n]
+    cr = cre_ref[:]
+    ci = cim_ref[:]
+    ore_ref[:] = ar * cr - ai * ci
+    oim_ref[:] = ar * ci + ai * cr
+
+
+@functools.partial(jax.jit, static_argnames=("n", "m", "tile_b", "interpret"))
+def _bl_fwd_call(xre, xim, twre, twim, cre, cim, bre, bim, n, m, tile_b,
+                 interpret=False):
+    from .pallas_stockham import stage_plan, make_twiddle_pack
+    b = xre.shape[-1]
+    stages = tuple(stage_plan(m))
+    offsets = make_twiddle_pack(m, False)[2]
+    kernel = functools.partial(_bl_fwd_kernel, n, m, offsets, stages)
+    inblock = pl.BlockSpec((n, tile_b), lambda i: (0, i),
+                           memory_space=pltpu.VMEM)
+    outblock = pl.BlockSpec((m, tile_b), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+    row = lambda a: pl.BlockSpec(a.shape, lambda i: (0, 0),
+                                 memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((m, b), jnp.float32)
+    return pl.pallas_call(
+        kernel,
+        grid=(b // tile_b,),
+        in_specs=[inblock, inblock, row(twre), row(twim),
+                  row(cre), row(cim), row(bre), row(bim)],
+        out_specs=[outblock, outblock],
+        out_shape=[out_shape, out_shape],
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=config.VMEM_LIMIT_BYTES),
+        interpret=interpret,
+    )(xre, xim, twre, twim, cre, cim, bre, bim)
+
+
+@functools.partial(jax.jit, static_argnames=("n", "m", "tile_b", "interpret"))
+def _bl_inv_call(xre, xim, twre, twim, cre, cim, n, m, tile_b,
+                 interpret=False):
+    from .pallas_stockham import stage_plan, make_twiddle_pack
+    b = xre.shape[-1]
+    stages = tuple(stage_plan(m))
+    offsets = make_twiddle_pack(m, True)[2]
+    kernel = functools.partial(_bl_inv_kernel, n, m, offsets, stages)
+    inblock = pl.BlockSpec((m, tile_b), lambda i: (0, i),
+                           memory_space=pltpu.VMEM)
+    outblock = pl.BlockSpec((n, tile_b), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+    row = lambda a: pl.BlockSpec(a.shape, lambda i: (0, 0),
+                                 memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((n, b), jnp.float32)
+    return pl.pallas_call(
+        kernel,
+        grid=(b // tile_b,),
+        in_specs=[inblock, inblock, row(twre), row(twim), row(cre), row(cim)],
+        out_specs=[outblock, outblock],
+        out_shape=[out_shape, out_shape],
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=config.VMEM_LIMIT_BYTES),
+        interpret=interpret,
+    )(xre, xim, twre, twim, cre, cim)
+
+
+def _fused_available(m: int, b: int) -> bool:
+    from .. import planner
+    return (planner.c2c_kernel(m, "float32") == "stockham"
+            and b % 128 == 0)
+
+
+def _bluestein_fused(xre, xim, n, m, inverse, cre, cim, bre, bim):
+    """Both m-point transforms with every chirp multiply fused in-kernel:
+    2 HBM roundtrips total (vs ~4.5 plane-passes unfused)."""
+    from .pallas_stockham import _TwCache, _pick_tile
+    b = xre.shape[-1]
+    tile_b = _pick_tile(m, b)
+    if b % tile_b != 0:
+        tile_b = 128
+    interpret = config.FORCE_INTERPRET or jax.default_backend() != "tpu"
+    cre_j, cim_j = jnp.asarray(cre), jnp.asarray(cim)
+    if inverse:
+        # bluestein-inverse: fold the extra 1/n into the FINAL chirp table
+        cre_fin, cim_fin = cre_j * (1.0 / n), cim_j * (1.0 / n)
+    else:
+        cre_fin, cim_fin = cre_j, cim_j
+    twf = _TwCache.get(m, False)
+    fre, fim = _bl_fwd_call(xre, xim, jnp.asarray(twf[0]), jnp.asarray(twf[1]),
+                            cre_j, cim_j, jnp.asarray(bre), jnp.asarray(bim),
+                            n, m, tile_b, interpret=interpret)
+    twi = _TwCache.get(m, True)
+    return _bl_inv_call(fre, fim, jnp.asarray(twi[0]), jnp.asarray(twi[1]),
+                        cre_fin, cim_fin, n, m, tile_b, interpret=interpret)
+
+
 def _fft_m(re, im, inverse: bool):
     """m-point pow2 complex FFT on time-major [m, batch] planes, routed
     through the public decision table (planner.c2c_kernel)."""
@@ -113,9 +252,13 @@ def _bluestein_impl(xre, xim, inverse: bool):
     if pad:
         xre = jnp.pad(xre, ((0, 0), (0, pad)))
         xim = jnp.pad(xim, ((0, 0), (0, pad)))
-    yre, yim = _bluestein_jit(xre, xim, jnp.asarray(cre), jnp.asarray(cim),
-                              jnp.asarray(bre), jnp.asarray(bim), n, m,
-                              inverse)
+    if _fused_available(m, xre.shape[-1]):
+        yre, yim = _bluestein_fused(xre, xim, n, m, inverse,
+                                    cre, cim, bre, bim)
+    else:
+        yre, yim = _bluestein_jit(xre, xim, jnp.asarray(cre),
+                                  jnp.asarray(cim), jnp.asarray(bre),
+                                  jnp.asarray(bim), n, m, inverse)
     if pad:
         yre, yim = yre[:, :b], yim[:, :b]
     return yre, yim
