@@ -19,9 +19,10 @@ and eager complex ops fail there (api._BaseContext documents this). The
 transforms themselves still run on the chip through the plane APIs; for
 fully device-resident pipelines use the split-plane context entry points.
 Measured cost of this convenience (BENCH r3, n=1024 b=2048): one
-`fftlib.fft` call pays ~11x the per-call time of a chained split-plane
-dispatch — the host round-trips, not the transform, dominate. The
-split-plane `*_planes_nb` entry points are the production path on TPU.
+`fftlib.fft` call pays ~11-20x the per-call time of a chained split-plane
+dispatch (run-dependent; 11x and 20x across two chip sessions) — the host
+round-trips, not the transform, dominate. The split-plane `*_planes_nb`
+entry points are the production path on TPU.
 """
 
 from __future__ import annotations
