@@ -423,7 +423,7 @@ def main(full: bool = False) -> None:
             return rfft_nb_fused, irfft_nb_fused, "rfft-pallas-fused"
         return rfft_nb, irfft_nb, "rfft-pallas"
 
-    for n in (256, 1024, 4096):
+    for n in (64, 256, 1024, 4096):
         try:
             b = max(128, TOTAL_ELEMS // n)
             rf, rif, sname = _r2c_fns(n)

@@ -58,3 +58,43 @@ def test_spectrogram_and_mel():
     assert fb.shape == (40, 129)
     mel = p @ fb.T
     assert np.all(np.isfinite(mel))
+
+
+def test_fftconvolve_matches_numpy():
+    rng = np.random.default_rng(11)
+    for t, k in ((100, 7), (1000, 33), (64, 64)):
+        x = rng.uniform(-1, 1, t).astype(np.float32)
+        h = rng.uniform(-1, 1, k).astype(np.float32)
+        exp = np.convolve(x.astype(np.float64), h.astype(np.float64))
+        got = np.asarray(S.fftconvolve(x, h))
+        scale = np.max(np.abs(exp))
+        assert got.shape == (t + k - 1,)
+        np.testing.assert_allclose(got, exp, atol=scale * 1e-5)
+
+
+def test_fftconvolve_modes_and_batch():
+    rng = np.random.default_rng(12)
+    t, k, b = 128, 17, 3
+    x = rng.uniform(-1, 1, (b, t)).astype(np.float32)
+    h = rng.uniform(-1, 1, k).astype(np.float32)
+    full = np.asarray(S.fftconvolve(x, h, mode="full"))
+    same = np.asarray(S.fftconvolve(x, h, mode="same"))
+    valid = np.asarray(S.fftconvolve(x, h, mode="valid"))
+    assert full.shape == (b, t + k - 1)
+    assert same.shape == (b, t)
+    assert valid.shape == (b, t - k + 1)
+    for i in range(b):
+        exp = np.convolve(x[i].astype(np.float64), h.astype(np.float64))
+        scale = np.max(np.abs(exp))
+        np.testing.assert_allclose(full[i], exp, atol=scale * 1e-5)
+        np.testing.assert_allclose(same[i], exp[(k - 1) // 2:(k - 1) // 2 + t],
+                                   atol=scale * 1e-5)
+        np.testing.assert_allclose(valid[i], exp[k - 1:t], atol=scale * 1e-5)
+
+
+def test_fftconvolve_rejects_bad_args():
+    x = np.ones(8, np.float32)
+    with pytest.raises(ValueError):
+        S.fftconvolve(x, np.ones(16, np.float32), mode="valid")
+    with pytest.raises(ValueError):
+        S.fftconvolve(x, np.ones(4, np.float32), mode="banana")

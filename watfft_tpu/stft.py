@@ -16,7 +16,7 @@ import jax.numpy as jnp
 from .plan import is_power_of_two
 
 __all__ = ["get_window", "frame", "stft", "istft", "spectrogram",
-           "mel_filterbank"]
+           "mel_filterbank", "fftconvolve"]
 
 
 def _check_stft_args(n_fft: int, hop: int, t: int | None = None) -> None:
@@ -182,6 +182,44 @@ def mel_filterbank(n_mels: int, n_fft: int, sample_rate: float,
         if c > b:
             fb[i, b:c] = (c - np.arange(b, c)) / (c - b)
     return fb.astype(np.float32)
+
+
+def fftconvolve(x, h, mode: str = "full"):
+    """FFT-based linear convolution of real signals along the last axis.
+
+    Both inputs are zero-padded to the next power of two >= t + k - 1 so the
+    product rides the Pallas real path (one rfft each, a spectrum multiply,
+    one irfft). Leading axes broadcast like numpy ufuncs. mode: 'full'
+    (t + k - 1 samples), 'same' (t, centered like np.convolve), 'valid'
+    (t - k + 1, requires t >= k). Oracle in tests: np.convolve per batch row.
+    New scope beyond the reference (SURVEY §2.2 playground does spectrogram
+    DSP only); the standard FFT-library companion op (cf. scipy.signal)."""
+    x = jnp.asarray(x, jnp.float32)
+    h = jnp.asarray(h, jnp.float32)
+    t, k = x.shape[-1], h.shape[-1]
+    if t < 1 or k < 1:
+        raise ValueError(f"empty operand: x[-1]={t}, h[-1]={k}")
+    if mode not in ("full", "same", "valid"):
+        raise ValueError(f"unknown mode {mode!r}")
+    if mode == "valid" and t < k:
+        raise ValueError(f"mode 'valid' requires len(x) >= len(h), "
+                         f"got {t} < {k}")
+    ln = t + k - 1
+    m = max(4, 1 << (ln - 1).bit_length())
+    ctx = _ctx_cache_get(m)
+    xp = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, m - t)])
+    hp = jnp.pad(h, [(0, 0)] * (h.ndim - 1) + [(0, m - k)])
+    xre, xim = ctx.forward_planes(xp)
+    hre, him = ctx.forward_planes(hp)
+    yre = xre * hre - xim * him
+    yim = xre * him + xim * hre
+    y = ctx.inverse_planes(yre, yim)[..., :ln]
+    if mode == "full":
+        return y
+    if mode == "same":
+        start = (k - 1) // 2
+        return y[..., start:start + t]
+    return y[..., k - 1:t]
 
 
 _rfft_ctxs: dict = {}
