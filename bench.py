@@ -411,17 +411,21 @@ def main(full: bool = False) -> None:
         print(f"  mxu-dft bench failed: {str(e)[:120]}", file=sys.stderr)
 
     # ---------------- real path (rfft/irfft roundtrip) --------------------
-    # Planner-dispatched kernels (per-size codelet table, Exp 32): fused at
-    # RFFT_FUSED_SIZES (1024/4096 here), hybrid elsewhere (256). Rows are
-    # recorded under the dispatched surface's registry name.
+    # Planner-dispatched kernels (per-size, PER-DIRECTION codelet table,
+    # Exp 32/35): fused forward at RFFT_FUSED_FWD_SIZES (64/4096 in this
+    # sweep), hybrid elsewhere and for the inverse. Rows are recorded under
+    # the FORWARD direction's registry surface name.
     from watfft_tpu import planner as _planner
     from watfft_tpu.ops.pallas_rfft import (rfft_nb, irfft_nb, rfft_nb_fused,
                                             irfft_nb_fused)
 
+    _r2c_fwd = {"rfft-pallas": rfft_nb, "rfft-pallas-fused": rfft_nb_fused}
+    _r2c_inv = {"rfft-pallas": irfft_nb, "rfft-pallas-fused": irfft_nb_fused}
+
     def _r2c_fns(n):
-        if _planner.r2c_kernel(n, "float32") == "rfft-pallas-fused":
-            return rfft_nb_fused, irfft_nb_fused, "rfft-pallas-fused"
-        return rfft_nb, irfft_nb, "rfft-pallas"
+        kf = _planner.r2c_kernel(n, "float32", "forward")
+        ki = _planner.r2c_kernel(n, "float32", "inverse")
+        return _r2c_fwd[kf], _r2c_inv[ki], kf
 
     for n in (64, 256, 1024, 4096):
         try:

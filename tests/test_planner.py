@@ -46,10 +46,14 @@ def test_decision_table_pallas(interpret_mode):
     # (ADVICE r2): those sizes fall back to the XLA four-step
     assert planner.c2c_kernel(1 << 21, "float32") == "fourstep"
     assert planner.c2c_kernel(1024, "float64") == "fourstep"   # f64 tier is separate
-    # real path: per-size codelet table (Exp 32 — fused wins at
-    # 16/32/64/1024/4096, hybrid elsewhere in the Pallas range)
-    assert planner.r2c_kernel(1024, "float32") == "rfft-pallas-fused"
+    # real path: per-size, PER-DIRECTION codelet table (Exp 32/35 — the
+    # fused FORWARD wins at 16/32/64/4096; the fused inverse never beats
+    # the hybrid standalone, so the inverse table is empty by default)
     assert planner.r2c_kernel(64, "float32") == "rfft-pallas-fused"
+    assert planner.r2c_kernel(4096, "float32", "forward") == "rfft-pallas-fused"
+    assert planner.r2c_kernel(1024, "float32", "forward") == "rfft-pallas"
+    assert planner.r2c_kernel(64, "float32", "inverse") == "rfft-pallas"
+    assert planner.r2c_kernel(4096, "float32", "inverse") == "rfft-pallas"
     assert planner.r2c_kernel(256, "float32") == "rfft-pallas"
     assert planner.r2c_kernel(8192, "float32") == "rfft-pallas"
     assert planner.r2c_kernel(4, "float32") == "fourstep"      # below kernel range

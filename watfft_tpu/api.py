@@ -286,18 +286,21 @@ class RFFTContext(_BaseContext):
 
     # -- time-major [n, batch] hot paths --------------------------------------
     def _r2c_nb_fns(self):
-        """(rfft_nb, irfft_nb) pair per the planner's per-size codelet table
-        (config.RFFT_FUSED_SIZES — reference analog: the per-size dispatch of
-        fft_real_f32_dual.wat:2433-2459): single-pass fused kernel at the
-        sizes where it measured faster on chip, partial-fusion hybrid else."""
+        """(rfft_nb, irfft_nb) pair per the planner's per-size, PER-DIRECTION
+        codelet table (config.RFFT_FUSED_{FWD,INV}_SIZES — reference analog:
+        the per-size dispatch of fft_real_f32_dual.wat:2433-2459): the
+        single-pass fused kernel at the sizes where it measured faster on
+        chip, the partial-fusion hybrid elsewhere. The pair may mix kernels
+        (Exp 35: fused forward + hybrid inverse at 4096)."""
         from .ops import pallas_rfft as pr
-        k = planner.r2c_kernel(self.size, self.dtype)
-        if k == "rfft-pallas-fused":
-            return pr.rfft_nb_fused, pr.irfft_nb_fused
-        if k == "rfft-large":
+        kf = planner.r2c_kernel(self.size, self.dtype, "forward")
+        if kf == "rfft-large":
             from .ops.large import rfft_large_nb, irfft_large_nb
             return rfft_large_nb, irfft_large_nb
-        return pr.rfft_nb, pr.irfft_nb
+        ki = planner.r2c_kernel(self.size, self.dtype, "inverse")
+        fwd = pr.rfft_nb_fused if kf == "rfft-pallas-fused" else pr.rfft_nb
+        inv = pr.irfft_nb_fused if ki == "rfft-pallas-fused" else pr.irfft_nb
+        return fwd, inv
 
     def forward_planes_nb(self, x):
         """Real [n, batch] -> spectrum planes [n//2+1, batch]. f32 uses the

@@ -69,13 +69,20 @@ RFFT_PALLAS_MAX_N = _int_env("WATFFT_RFFT_MAX_N", 16384)  # m=8192 core, Exp 20
 # Sizes where the single-pass fused real kernel (blocked MXU mirror, Exp 32)
 # measured FASTER than the partial-fusion hybrid on chip — the per-size
 # codelet-table pattern (reference: fft_real_f32_dual.wat:2433-2459,
-# re-validated per hardware generation). Roundtrip fused/hybrid ratios:
-# 16: 0.61, 32: 0.79, 64: 0.89, 1024: 0.92, 4096: 0.91 (hybrid wins the
-# others: 128: 1.13, 256: 1.26, 512: 1.14, 2048: 1.14, 8192: 1.42,
-# 16384: 0.99 tie).
-RFFT_FUSED_SIZES = frozenset(
+# re-validated per hardware generation). Round-3 revision (Exp 35): the
+# table is PER-DIRECTION, measured on standalone direction chains with
+# unprunable consumers (a [0,0]-scalar consumer lets XLA slice the hybrid's
+# post-process to one element, faking a 2-4x hybrid "win"). Forward
+# fused/hybrid: 16: 0.53, 64: 0.59, 256: 1.00, 1024: 1.09, 4096: 0.69.
+# Inverse: hybrid ties or wins everywhere (64: 2.47, 4096: 1.21; ties
+# 16/256/1024) — the fused irfft never beats the hybrid standalone, so its
+# default table is EMPTY (the kernel stays registered + benched).
+RFFT_FUSED_FWD_SIZES = frozenset(
     int(s) for s in os.environ.get(
-        "WATFFT_RFFT_FUSED_SIZES", "16,32,64,1024,4096").split(",") if s)
+        "WATFFT_RFFT_FUSED_FWD_SIZES", "16,32,64,4096").split(",") if s)
+RFFT_FUSED_INV_SIZES = frozenset(
+    int(s) for s in os.environ.get(
+        "WATFFT_RFFT_FUSED_INV_SIZES", "").split(",") if s)
 FORCE_INTERPRET = os.environ.get("WATFFT_INTERPRET", "") not in ("", "0", "false")
 
 

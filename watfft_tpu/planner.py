@@ -21,9 +21,10 @@ Decision table (f32, TPU backend):
                                    1.39x at 16384; its VMEM live set caps it)
 
   real (rfft)   8 .. 16384         Pallas real path: single-pass fused kernel
-                                   at the per-size codelet-table sizes where
-                                   it measured faster (config.RFFT_FUSED_SIZES,
-                                   Exp 32), partial-fusion hybrid elsewhere
+                                   at the per-size, PER-DIRECTION codelet-table
+                                   sizes where it measured faster
+                                   (config.RFFT_FUSED_{FWD,INV}_SIZES,
+                                   Exp 32/35), partial-fusion hybrid elsewhere
                 otherwise          XLA pack-as-complex + Hermitian post
 
 f64 always takes the four-step XLA path here (CPU device on TPU backends);
@@ -72,15 +73,19 @@ def c2c_kernel(n: int, dtype: str) -> str:
     return "fourstep"
 
 
-def r2c_kernel(n: int, dtype: str) -> str:
+def r2c_kernel(n: int, dtype: str, direction: str = "forward") -> str:
     """'rfft-pallas-fused' (single-pass fused kernel with the blocked MXU
     mirror — dispatched at the sizes where it measured faster, the per-size
     codelet-table pattern of the reference's
     fft_real_f32_dual.wat:2433-2459), 'rfft-pallas' (partial-fusion hybrid),
-    or 'fourstep'."""
+    or 'fourstep'. The fused table is PER-DIRECTION (Exp 35: the fused
+    forward wins at 16/32/64/4096 standalone; the fused inverse never beats
+    the hybrid standalone, so its default table is empty)."""
     if dtype == "float32" and pallas_available() and is_power_of_two(n):
         if 8 <= n <= config.RFFT_PALLAS_MAX_N:
-            if n in config.RFFT_FUSED_SIZES:
+            fused = (config.RFFT_FUSED_FWD_SIZES if direction == "forward"
+                     else config.RFFT_FUSED_INV_SIZES)
+            if n in fused:
                 return "rfft-pallas-fused"
             return "rfft-pallas"
         # past the Stockham kernel's ceiling: pack-as-complex on the batched

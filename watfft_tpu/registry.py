@@ -478,10 +478,11 @@ def _build_registry() -> list[SurfaceEntry]:
             make=_mk_doublefloat_rfft(direction)))
     for surface, direction in (("real-forward", "forward"),
                                ("real-inverse", "inverse")):
-        # single-pass fused surface (blocked MXU mirror, Exp 32): WINS on
-        # chip at the planner's codelet-table sizes (config.RFFT_FUSED_SIZES
-        # — fused/hybrid 0.61..0.92 at 16/32/64/1024/4096) and is dispatched
-        # there; max_size bounds CPU-interpret sweep time
+        # single-pass fused surface (blocked MXU mirror, Exp 32): the fused
+        # FORWARD wins on chip at the planner's codelet-table sizes
+        # (config.RFFT_FUSED_FWD_SIZES — fused/hybrid 0.53..0.69 at
+        # 16/32/64/4096 standalone, Exp 35) and is dispatched there;
+        # max_size bounds CPU-interpret sweep time
         out.append(SurfaceEntry(
             name="rfft-pallas-fused", surface=surface, dtype="float32",
             min_size=16, max_size=4096, flagship=False, baseline=False,
