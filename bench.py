@@ -698,7 +698,7 @@ def main(full: bool = False) -> None:
     # driver dryrun; it cannot be timed on one chip)
     try:
         from watfft_tpu.ops.fft2 import fft2_planes
-        bb2, h2, w2 = 32, 256, 256
+        bb2, h2, w2 = 128, 256, 256  # b=128: native fft2_nb path (Exp 36)
         zre = jnp.asarray(rng.uniform(-1, 1, (bb2, h2, w2)).astype(np.float32))
         zim = jnp.asarray(rng.uniform(-1, 1, (bb2, h2, w2)).astype(np.float32))
 

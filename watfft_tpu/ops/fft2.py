@@ -19,12 +19,16 @@ import functools
 
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from .. import config
 from ..plan import is_power_of_two
-from .pallas_stockham import stockham_fft_nb
+from .pallas_stockham import (stockham_fft_nb, stage_plan, make_twiddle_pack,
+                              run_stages, _TwCache)
+from .large import _stage1_call
 
-__all__ = ["fft2_planes", "validate_fft2_shape"]
+__all__ = ["fft2_planes", "fft2_nb", "validate_fft2_shape"]
 
 
 def validate_fft2_shape(shape) -> None:
@@ -70,11 +74,175 @@ def _fft_rows_timemajor(xre, xim, inverse):
     return yre, yim
 
 
+# -- native-layout fused kernels (round-3 Exp 36) ------------------------------
+# The separable XLA pipeline above pays ~4 relayout passes per direction
+# (lane folds + the trailing-axes transpose) around its two kernel calls —
+# measured 1.49x vs jnp.fft.fft2 at 256^2 (BENCH r3). These kernels reuse
+# the four-step machinery (ops/large.py) WITHOUT its twiddle: in the native
+# [h, w, B] layout (image batch on lanes) a 2D FFT is stage-1 (h-pass on 3D
+# blocks) + a stage-2-style kernel whose [tbh, w] transpose happens IN VMEM
+# (a sublane-dim permute; lanes untouched) and which swaps BACK before the
+# store so the output keeps [h, w, B] orientation — 4 HBM plane-passes per
+# direction, zero boundary relayouts. When the whole [h, w, 128] cube fits
+# VMEM (h*w <= CUBE_MAX_N), ONE kernel does both passes at the 2-pass floor.
+
+
+def _fft2_k2_kernel(w, inverse, offsets, stages,
+                    cre_ref, cim_ref, twre_ref, twim_ref, ore_ref, oim_ref):
+    cre = cre_ref[:]                       # [tbh, w, tbB]
+    cim = cim_ref[:]
+    tbh, tbB = cre.shape[0], cre.shape[2]
+    tre = jnp.swapaxes(cre, 0, 1).reshape(w, tbh * tbB)
+    tim = jnp.swapaxes(cim, 0, 1).reshape(w, tbh * tbB)
+    tre, tim = run_stages(tre, tim, w, inverse, offsets, stages,
+                          twre_ref[:], twim_ref[:])
+    ore_ref[:] = jnp.swapaxes(tre.reshape(w, tbh, tbB), 0, 1)
+    oim_ref[:] = jnp.swapaxes(tim.reshape(w, tbh, tbB), 0, 1)
+
+
+@functools.partial(jax.jit, static_argnames=("w", "inverse", "tbh",
+                                             "interpret"))
+def _fft2_k2_call(cre, cim, twre, twim, w, inverse, tbh, interpret=False):
+    h, b = cre.shape[0], cre.shape[-1]     # cre: [h, w, B]
+    stages = tuple(stage_plan(w))
+    offsets = make_twiddle_pack(w, inverse)[2]
+    kernel = functools.partial(_fft2_k2_kernel, w, inverse, offsets, stages)
+    grid = (h // tbh, b // 128)
+    blk = pl.BlockSpec((tbh, w, 128), lambda i, j: (i, 0, j),
+                       memory_space=pltpu.VMEM)
+    tw = pl.BlockSpec(twre.shape, lambda i, j: (0, 0), memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct(cre.shape, cre.dtype)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[blk, blk, tw, tw],
+        out_specs=[blk, blk],
+        out_shape=[out_shape, out_shape],
+        input_output_aliases={0: 0, 1: 1},
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=config.VMEM_LIMIT_BYTES),
+        interpret=interpret,
+    )(cre, cim, twre, twim)
+
+
+def _fft2_cube_kernel(h, w, inverse, off1, st1, off2, st2,
+                      xre_ref, xim_ref, t1re_ref, t1im_ref,
+                      t2re_ref, t2im_ref, ore_ref, oim_ref):
+    cre, cim = run_stages(xre_ref[:], xim_ref[:], h, inverse, off1, st1,
+                          t1re_ref[:], t1im_ref[:])
+    tre = jnp.swapaxes(cre, 0, 1)          # [w, h, L]: lanes untouched
+    tim = jnp.swapaxes(cim, 0, 1)
+    tre, tim = run_stages(tre, tim, w, inverse, off2, st2,
+                          t2re_ref[:], t2im_ref[:])
+    ore_ref[:] = jnp.swapaxes(tre, 0, 1)   # restore [h, w, L]
+    oim_ref[:] = jnp.swapaxes(tim, 0, 1)
+
+
+@functools.partial(jax.jit, static_argnames=("h", "w", "inverse",
+                                             "interpret"))
+def _fft2_cube_call(xre, xim, t1re, t1im, t2re, t2im, h, w, inverse,
+                    interpret=False):
+    b = xre.shape[-1]
+    st1 = tuple(stage_plan(h))
+    off1 = make_twiddle_pack(h, inverse)[2]
+    st2 = tuple(stage_plan(w))
+    off2 = make_twiddle_pack(w, inverse)[2]
+    kernel = functools.partial(_fft2_cube_kernel, h, w, inverse, off1, st1,
+                               off2, st2)
+    grid = (b // 128,)
+    blk = pl.BlockSpec((h, w, 128), lambda i: (0, 0, i),
+                       memory_space=pltpu.VMEM)
+    tw1 = pl.BlockSpec(t1re.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+    tw2 = pl.BlockSpec(t2re.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct(xre.shape, xre.dtype)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[blk, blk, tw1, tw1, tw2, tw2],
+        out_specs=[blk, blk],
+        out_shape=[out_shape, out_shape],
+        input_output_aliases={0: 0, 1: 1},
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=config.VMEM_LIMIT_BYTES),
+        interpret=interpret,
+    )(xre, xim, t1re, t1im, t2re, t2im)
+
+
+def _fft2_nb_ok(h: int, w: int, b: int) -> bool:
+    from .. import planner
+    return (planner.pallas_available()
+            and is_power_of_two(h) and is_power_of_two(w)
+            and b % 128 == 0
+            and 2 <= h <= config.STOCKHAM_MAX_N // 4
+            and 2 <= w <= config.STOCKHAM_MAX_N // 4
+            and (h * w <= config.CUBE_MAX_N or (h % 8 == 0 and w % 16 == 0)))
+
+
+def _fft2_nb_impl(xre, xim, inverse: bool):
+    h, w, b = xre.shape
+    interpret = config.FORCE_INTERPRET or jax.default_backend() != "tpu"
+    t1re, t1im = _TwCache.get(h, inverse)
+    t2re, t2im = _TwCache.get(w, inverse)
+    if h * w <= config.CUBE_MAX_N:
+        return _fft2_cube_call(xre, xim, jnp.asarray(t1re), jnp.asarray(t1im),
+                               jnp.asarray(t2re), jnp.asarray(t2im),
+                               h, w, inverse, interpret)
+    cre, cim = _stage1_call(xre, xim, jnp.asarray(t1re), jnp.asarray(t1im),
+                            h, inverse, min(16, w), 128, interpret)
+    return _fft2_k2_call(cre, cim, jnp.asarray(t2re), jnp.asarray(t2im),
+                         w, inverse, min(8, h), interpret)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _fft2_nb_diff(xre, xim, inverse):
+    return _fft2_nb_impl(xre, xim, inverse)
+
+
+def _fft2_nb_diff_fwd(xre, xim, inverse):
+    return _fft2_nb_impl(xre, xim, inverse), (xre.shape[0], xre.shape[1])
+
+
+def _fft2_nb_diff_bwd(inverse, hw, g):
+    # linear map; adjoint = the conjugate transform (per-axis 1D rule,
+    # composed): VJP(fft2) = (h*w) * ifft2, VJP(ifft2) = fft2 / (h*w)
+    h, w = hw
+    gre, gim = g
+    ore, oim = _fft2_nb_impl(gre, gim, not inverse)
+    s = jnp.asarray(1.0 / (h * w) if inverse else float(h * w), ore.dtype)
+    return ore * s, oim * s
+
+
+_fft2_nb_diff.defvjp(_fft2_nb_diff_fwd, _fft2_nb_diff_bwd)
+
+
+def fft2_nb(xre, xim, inverse: bool = False):
+    """2D FFT on NATIVE-layout planes [h, w, batch] (image batch on lanes,
+    batch % 128 == 0; f32; h, w powers of two). One Pallas kernel when the
+    [h, w, 128] cube fits VMEM (h*w <= config.CUBE_MAX_N), else the
+    two-kernel pipeline — 2 or 4 HBM plane-passes per direction vs ~8 for
+    the separable XLA path. Output keeps [h, w, batch] orientation.
+    Differentiable (custom VJP: the conjugate transform)."""
+    return _fft2_nb_diff(xre, xim, bool(inverse))
+
+
 @functools.partial(jax.jit, static_argnames=("inverse",))
 def fft2_planes(xre, xim, inverse: bool = False):
     """2D FFT of [..., h, w] split planes (f32). h, w powers of two; any
-    shape runs (per-pass planner dispatch picks kernel vs XLA four-step)."""
+    shape runs — the native fused kernels (fft2_nb) when their constraints
+    hold (the boundary moveaxis passes cancel between chained calls under
+    jit), else the separable per-pass dispatch (kernel or XLA four-step)."""
     validate_fft2_shape(xre.shape)
+    shape = xre.shape
+    h, w = shape[-2], shape[-1]
+    lead = 1
+    for s in shape[:-2]:
+        lead *= s
+    if lead and _fft2_nb_ok(h, w, lead):
+        x3re = jnp.moveaxis(xre.reshape(lead, h, w), 0, -1)
+        x3im = jnp.moveaxis(xim.reshape(lead, h, w), 0, -1)
+        ore, oim = fft2_nb(x3re, x3im, inverse=inverse)
+        return (jnp.moveaxis(ore, -1, 0).reshape(shape),
+                jnp.moveaxis(oim, -1, 0).reshape(shape))
     # columns: transform along h (axis -2) with w (+batch) on lanes
     xre, xim = _fft_rows_timemajor(xre, xim, inverse)
     # rows: transpose trailing axes, transform along w, transpose back
