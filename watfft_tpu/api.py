@@ -30,7 +30,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from . import planner
+from . import config, planner
 from .plan import build_tree, is_power_of_two
 from .ops.fourstep import apply_tables, fft_tables
 from .ops.rfft import rfft_planes, irfft_planes, rfft_post_twiddles
@@ -165,7 +165,10 @@ class FFTContext(_BaseContext):
 
     def _bm_stockham(self, xre, xim, inverse: bool):
         """Batch-major [..., n] planes -> Pallas time-major kernel behind
-        XLA transposes + lane padding."""
+        XLA transposes + lane padding. For n <= DMA3D_MAX_N the transposed
+        planes reshape FREE into the native sublane-folded [n, 8, W] layout
+        (Exp 28), skipping the 2D kernel mode's in-VMEM relayout — this is
+        what closes the small-n [dispatch] gap vs the raw 3D bench chain."""
         from .ops.pallas_stockham import stockham_fft_nb
         xre, xim = self._prep(xre), self._prep(xim)
         lead = xre.shape[:-1]
@@ -176,7 +179,15 @@ class FFTContext(_BaseContext):
         if pad:
             a = jnp.pad(a, ((0, 0), (0, pad)))
             b = jnp.pad(b, ((0, 0), (0, pad)))
+        bp = a.shape[-1]
+        use3d = self.size <= config.DMA3D_MAX_N and bp % (8 * 128) == 0
+        if use3d:
+            a = a.reshape(self.size, 8, bp // 8)
+            b = b.reshape(self.size, 8, bp // 8)
         ore, oim = stockham_fft_nb(a, b, inverse=inverse)
+        if use3d:
+            ore = ore.reshape(self.size, bp)
+            oim = oim.reshape(self.size, bp)
         if pad:
             ore, oim = ore[:, :bsz], oim[:, :bsz]
         return (ore.T.reshape(*lead, self.size),
