@@ -32,7 +32,8 @@ from .. import config
 from ..ops.fourstep import fft_planes
 from ..ops.pallas_stockham import stockham_fft_nb
 
-__all__ = ["fft_batch_sharded", "fft2_sharded", "make_mesh"]
+__all__ = ["fft_batch_sharded", "rfft_batch_sharded", "irfft_batch_sharded",
+           "fft2_sharded", "make_mesh"]
 
 
 def _local_fft(xre, xim, inverse):
@@ -68,6 +69,70 @@ def fft_batch_sharded(xre, xim, mesh: Mesh, inverse: bool = False, axis: str = "
         out_specs=(P(axis, None), P(axis, None)),
     )
     return fn(xre, xim)
+
+
+def _local_rfft(x):
+    """Real forward FFT along axis -1 of a local shard [..., n]: pack-as-
+    complex m = n/2 core on _local_fft + the shared Hermitian recombination
+    (ops/pallas_rfft.hermitian_post_nb — pure jnp, so it shards and
+    differentiates transparently)."""
+    from ..ops.pallas_rfft import hermitian_post_nb
+    n = x.shape[-1]
+    m = n // 2
+    shape = x.shape
+    lead = 1
+    for s in shape[:-1]:
+        lead *= s
+    xv = x.reshape(*shape[:-1], m, 2)
+    zre, zim = _local_fft(xv[..., 0], xv[..., 1], inverse=False)
+    re, im = hermitian_post_nb(zre.reshape(lead, m).T,
+                               zim.reshape(lead, m).T, n)
+    return (re.T.reshape(*shape[:-1], m + 1),
+            im.T.reshape(*shape[:-1], m + 1))
+
+
+def _local_irfft(re, im):
+    """Inverse of _local_rfft: [..., m+1] spectrum planes -> real [..., 2m]
+    (normalized; the 0.5 fold lives in hermitian_pre_nb, the 1/m in the
+    native inverse)."""
+    from ..ops.pallas_rfft import hermitian_pre_nb
+    m1 = re.shape[-1]
+    m = m1 - 1
+    n = 2 * m
+    shape = re.shape
+    lead = 1
+    for s in shape[:-1]:
+        lead *= s
+    zre, zim = hermitian_pre_nb(re.reshape(lead, m1).T,
+                                im.reshape(lead, m1).T, n)
+    zre = zre.T.reshape(*shape[:-1], m)
+    zim = zim.T.reshape(*shape[:-1], m)
+    yre, yim = _local_fft(zre, zim, inverse=True)
+    return jnp.stack([yre, yim], axis=-1).reshape(*shape[:-1], n)
+
+
+def rfft_batch_sharded(x, mesh: Mesh, axis: str = "x"):
+    """Data-parallel batched real FFT: real [B, n] with B sharded over the
+    mesh -> spectrum planes [B, n//2+1] x 2, same sharding (no collectives).
+    The multi-chip face of BASELINE config 4's STFT workload."""
+    fn = shard_map(
+        _local_rfft,
+        mesh=mesh,
+        in_specs=(P(axis, None),),
+        out_specs=(P(axis, None), P(axis, None)),
+    )
+    return fn(x)
+
+
+def irfft_batch_sharded(re, im, mesh: Mesh, axis: str = "x"):
+    """Inverse of rfft_batch_sharded: [B, m+1] planes -> real [B, 2m]."""
+    fn = shard_map(
+        _local_irfft,
+        mesh=mesh,
+        in_specs=(P(axis, None), P(axis, None)),
+        out_specs=P(axis, None),
+    )
+    return fn(re, im)
 
 
 def _swap_sharded_axis(x, axis_name: str, reverse: bool = False):
