@@ -427,11 +427,20 @@ def main(full: bool = False) -> None:
         ki = _planner.r2c_kernel(n, "float32", "inverse")
         return _r2c_fwd[kf], _r2c_inv[ki], kf
 
+    from watfft_tpu import config as _rcfg
     for n in (64, 256, 1024, 4096):
         try:
             b = max(128, TOTAL_ELEMS // n)
-            rf, rif, sname = _r2c_fns(n)
-            xr_t = jnp.asarray(rng.uniform(-1, 1, (n, b)).astype(np.float32))
+            host = rng.uniform(-1, 1, (n, b)).astype(np.float32)
+            if n <= 2 * _rcfg.DMA3D_MAX_N:
+                # native sublane-folded 3D layout (Exp 37): free host
+                # reshape; the hybrid kernels rank-dispatch on it and the
+                # Hermitian passes run directly on 3D planes
+                xr_t = jnp.asarray(host.reshape(n, 8, b // 8))
+                rf, rif, sname = rfft_nb, irfft_nb, "rfft-pallas"
+            else:
+                xr_t = jnp.asarray(host)
+                rf, rif, sname = _r2c_fns(n)
 
             def rstep(c):
                 re, im = rf(c)
@@ -459,11 +468,12 @@ def main(full: bool = False) -> None:
 
     # ---------------- standalone real inverse (VERDICT r2 Missing #3) -----
     # irfft's output shape differs from its input, so a pure-inverse chain
-    # needs a serialization trick: each iteration scatter-adds a ~1e-30
-    # scalar (fed back from the previous output) into one element of the
-    # donated spectrum carry — in-place on the fori_loop carry, so the
-    # dependence costs nothing while making hoisting impossible. Both sides
-    # use the identical trick, so the ratio is fair.
+    # needs a serialization trick: each iteration folds the output back
+    # into the donated spectrum carry at ~1e-30 scale. The fold must
+    # consume EVERY output element (two overlapping half-reads) — a scalar
+    # y[0,0] consumer lets XLA dead-code-slice the hybrid kernels' XLA
+    # pre/post passes to one element and fakes the comparison (Exp 35's
+    # pruning trap). Both sides use the identical fold, so the ratio is fair.
     try:
         for n in (1024, 4096):
             b = max(128, TOTAL_ELEMS // n)
@@ -473,35 +483,33 @@ def main(full: bool = False) -> None:
             sim_t = jnp.asarray(rng.uniform(-1, 1, (m + 1, b)).astype(np.float32))
 
             def ristep(c):
-                re, im, eps = c
-                re = re.at[0, 0].add(eps)
+                re, im = c
                 y = rif(re, im)
-                return re, im, y[0, 0] * 1e-30
+                upd = (y[:m + 1] + y[m - 1:]) * jnp.float32(1e-30)
+                return re + upd, im
 
             xr_t = jnp.asarray(rng.uniform(-1, 1, (n, b)).astype(np.float32))
 
             def rfstep(c):
-                x, eps = c
-                x = x.at[0, 0].add(eps)
-                yre, yim = rf(x)
-                return x, yre[0, 0] * 1e-30
+                yre, yim = rf(c)
+                upd = jnp.concatenate([yre, yim[1:]], axis=0)[:n]
+                return c + upd * jnp.float32(1e-30)
 
             sre = jnp.asarray(rng.uniform(-1, 1, (b, m + 1)).astype(np.float32))
             sim = jnp.asarray(rng.uniform(-1, 1, (b, m + 1)).astype(np.float32))
 
             def jristep(c):
-                re, im, eps = c
-                re = re.at[0, 0].add(eps)
+                re, im = c
                 y = jnp.fft.irfft(re + 1j * im, n=n)
-                return re, im, y[0, 0] * 1e-30
+                upd = (y[:, :m + 1] + y[:, m - 1:]) * jnp.float32(1e-30)
+                return re + upd, im
             # single real direction ~ quarter of the complex-roundtrip traffic
             floor_r = _roundtrip_floor(n * b) / 4
-            eps0 = jnp.float32(0.0)
             ratios, t_ris, t_rfs, t_jris = [], [], [], []
             for _ in range(3):
-                t_ri = max(time_chain(ristep, (sre_t, sim_t, eps0)), floor_r)
-                t_jri = time_chain(jristep, (sre, sim, eps0))
-                t_rf_ = max(time_chain(rfstep, (xr_t, eps0)), floor_r)
+                t_ri = max(time_chain(ristep, (sre_t, sim_t)), floor_r)
+                t_jri = time_chain(jristep, (sre, sim))
+                t_rf_ = max(time_chain(rfstep, xr_t), floor_r)
                 ratios.append(t_jri / t_ri)
                 t_ris.append(t_ri)
                 t_rfs.append(t_rf_)

@@ -105,3 +105,31 @@ def test_bluestein_matches_reference_dft(n):
     assert err < 5e-6, err
     bre, bim = bluestein_fft_nb(re, im, inverse=True)
     assert np.max(np.abs((np.asarray(bre) + 1j * np.asarray(bim)) - x)) < 1e-5
+
+
+@pytest.mark.parametrize("n", [16, 64, 256, 512])
+def test_real_3d_native_layout(n):
+    """The real path's native sublane-folded 3D layout [n, 8, W] (Exp 37):
+    a free host reshape of [n, batch]; hybrid kernels rank-dispatch on it,
+    the Hermitian passes run directly on 3D planes, and the result matches
+    np.fft plus roundtrips. Covers the public context entry too."""
+    import jax.numpy as jnp
+    from watfft_tpu.ops.pallas_rfft import rfft_nb, irfft_nb
+    from watfft_tpu.api import RFFTContext
+    rng = ref.seeded_rng(n + 1)
+    W = 128
+    b = 8 * W
+    x2 = rng.uniform(-1, 1, (n, b)).astype(np.float32)
+    x3 = jnp.asarray(x2.reshape(n, 8, W))
+    re, im = rfft_nb(x3)
+    got = (np.asarray(re) + 1j * np.asarray(im)).reshape(n // 2 + 1, b)
+    expected = np.fft.rfft(x2.astype(np.float64), axis=0)
+    assert np.max(np.abs(got - expected)) / np.max(np.abs(expected)) < 5e-6
+    back = np.asarray(irfft_nb(re, im)).reshape(n, b)
+    assert np.max(np.abs(back - x2)) < 1e-4
+    # public context entry rank-dispatches to the same path
+    ctx = RFFTContext(n, "float32")
+    re2, im2 = ctx.forward_planes_nb(x3)
+    np.testing.assert_allclose(np.asarray(re2), np.asarray(re), atol=1e-6)
+    back2 = np.asarray(ctx.inverse_planes_nb(re2, im2)).reshape(n, b)
+    assert np.max(np.abs(back2 - x2)) < 1e-4

@@ -314,10 +314,17 @@ class RFFTContext(_BaseContext):
         return fwd, inv
 
     def forward_planes_nb(self, x):
-        """Real [n, batch] -> spectrum planes [n//2+1, batch]. f32 uses the
-        Pallas real path (fused or hybrid per the planner's codelet table);
-        f64 the double-f32 tier (hi/lo internal)."""
+        """Real [n, batch] -> spectrum planes [n//2+1, batch], or the NATIVE
+        SUBLANE-FOLDED 3D layout [n, 8, batch//8] -> [n//2+1, 8, batch//8]
+        for n <= 2*config.DMA3D_MAX_N (Exp 37: chained small-n real
+        roundtrips run ~2.5-4x faster in it). f32 uses the Pallas real path
+        (fused or hybrid per the planner's codelet table; 3D planes always
+        run the hybrid — the only 3D-capable variant); f64 the double-f32
+        tier (hi/lo internal)."""
         if self.dtype == "float32":
+            if jnp.ndim(x) == 3:
+                from .ops.pallas_rfft import rfft_nb as _rfft3
+                return _rfft3(self._prep(x))
             rfft_nb, _ = self._r2c_nb_fns()
             return rfft_nb(self._prep(x))
         from .ops.doublefloat import df_rfft_nb, split_f64, merge_f64
@@ -327,8 +334,12 @@ class RFFTContext(_BaseContext):
                 merge_f64(np.asarray(oih), np.asarray(oil)))
 
     def inverse_planes_nb(self, xre, xim):
-        """Spectrum planes [m+1, batch] -> real [2m, batch]."""
+        """Spectrum planes [m+1, batch] -> real [2m, batch] (or the 3D
+        native layout, see forward_planes_nb)."""
         if self.dtype == "float32":
+            if jnp.ndim(xre) == 3:
+                from .ops.pallas_rfft import irfft_nb as _irfft3
+                return _irfft3(self._prep(xre), self._prep(xim))
             _, irfft_nb = self._r2c_nb_fns()
             return irfft_nb(self._prep(xre), self._prep(xim))
         from .ops.doublefloat import df_irfft_nb, split_f64, merge_f64

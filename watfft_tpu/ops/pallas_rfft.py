@@ -136,6 +136,82 @@ def _irfft_core_call(zre, zim, twre, twim, n, tile_b, interpret=False):
     )(zre, zim, twre, twim)
 
 
+def _rfft_core_kernel_dma3d(n, offsets, stages,
+                            x_ref, twre_ref, twim_ref, zre_ref, zim_ref):
+    """3D-block variant (round-3, Exp 37 — the real-path port of Exp 28):
+    the block arrives as [n, 8, w] straight from the DMA, the deinterleave
+    is a free leading-dim split [m, 2, 8, w], and the small-n mode's VMEM
+    relayout pass disappears entirely."""
+    m = n // 2
+    x = x_ref[:]
+    s, w = x.shape[-2], x.shape[-1]
+    xv = x.reshape(m, 2, s, w)
+    zre, zim = run_stages(xv[:, 0], xv[:, 1], m, False, offsets, stages,
+                          twre_ref[:], twim_ref[:])
+    zre_ref[:] = zre
+    zim_ref[:] = zim
+
+
+def _irfft_core_kernel_dma3d(n, offsets, stages,
+                             zre_ref, zim_ref, twre_ref, twim_ref, o_ref):
+    m = n // 2
+    zre, zim = run_stages(zre_ref[:], zim_ref[:], m, True, offsets, stages,
+                          twre_ref[:], twim_ref[:])
+    s, w = zre.shape[-2], zre.shape[-1]
+    o_ref[:] = jnp.stack([zre, zim], axis=1).reshape(n, s, w)
+
+
+@functools.partial(jax.jit, static_argnames=("n", "w_tile", "interpret"))
+def _rfft_core_call_dma3d(x, twre, twim, n, w_tile, interpret=False):
+    m = n // 2
+    W = x.shape[-1]
+    stages = tuple(stage_plan(m))
+    offsets = make_twiddle_pack(m, False)[2]
+    kernel = functools.partial(_rfft_core_kernel_dma3d, n, offsets, stages)
+    grid = (W // w_tile,)
+    xblock = pl.BlockSpec((n, 8, w_tile), lambda i: (0, 0, i),
+                          memory_space=pltpu.VMEM)
+    zblock = pl.BlockSpec((m, 8, w_tile), lambda i: (0, 0, i),
+                          memory_space=pltpu.VMEM)
+    twspec = pl.BlockSpec(twre.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+    zshape = jax.ShapeDtypeStruct((m, 8, W), x.dtype)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[xblock, twspec, twspec],
+        out_specs=[zblock, zblock],
+        out_shape=[zshape, zshape],
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=config.VMEM_LIMIT_BYTES),
+        interpret=interpret,
+    )(x, twre, twim)
+
+
+@functools.partial(jax.jit, static_argnames=("n", "w_tile", "interpret"))
+def _irfft_core_call_dma3d(zre, zim, twre, twim, n, w_tile, interpret=False):
+    m = n // 2
+    W = zre.shape[-1]
+    stages = tuple(stage_plan(m))
+    offsets = make_twiddle_pack(m, True)[2]
+    kernel = functools.partial(_irfft_core_kernel_dma3d, n, offsets, stages)
+    grid = (W // w_tile,)
+    zblock = pl.BlockSpec((m, 8, w_tile), lambda i: (0, 0, i),
+                          memory_space=pltpu.VMEM)
+    oblock = pl.BlockSpec((n, 8, w_tile), lambda i: (0, 0, i),
+                          memory_space=pltpu.VMEM)
+    twspec = pl.BlockSpec(twre.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[zblock, zblock, twspec, twspec],
+        out_specs=oblock,
+        out_shape=jax.ShapeDtypeStruct((n, 8, W), zre.dtype),
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=config.VMEM_LIMIT_BYTES),
+        interpret=interpret,
+    )(zre, zim, twre, twim)
+
+
 class _Cache:
     """Host-side (numpy) post-twiddle cache — device arrays must not be
     cached (a tracer-created array cached across traces leaks)."""
@@ -180,6 +256,9 @@ def hermitian_post_nb(zre, zim, n):
     ore = 0.5 * dim
     oim = -0.5 * dre
     wr, wi = wre[1:m], wim[1:m]
+    if zre.ndim == 3:  # native [m, 8, W] planes: broadcast over both minors
+        wr = wr.reshape(-1, 1, 1)
+        wi = wi.reshape(-1, 1, 1)
     xre_core = ere + wr * ore - wi * oim
     xim_core = eim + wr * oim + wi * ore
     z0re, z0im = zre[:1], zim[:1]
@@ -190,6 +269,28 @@ def hermitian_post_nb(zre, zim, n):
 
 
 def _rfft_impl(x):
+    if x.ndim == 3:
+        # NATIVE SUBLANE-FOLDED layout [n, 8, W] (Exp 37; same contract as
+        # stockham_fft_nb's 3D mode): the lane->sublane redistribution
+        # rides the HBM->VMEM DMA, and the Hermitian post runs directly on
+        # 3D planes — no 2D<->3D boundary relayout anywhere.
+        n, s, W = x.shape
+        m = n // 2
+        if s != 8:
+            raise ValueError(
+                f"3D planes must be [n, 8, W] (sublane-folded), got {x.shape}")
+        if m > config.DMA3D_MAX_N:
+            raise ValueError(
+                f"3D real planes supported for n <= {2 * config.DMA3D_MAX_N}, "
+                f"got {n}; use 2D [n, batch] planes")
+        if W % 128 != 0:
+            raise ValueError(f"W (last axis) must be a multiple of 128, got {W}")
+        w_tile = 256 if (m <= 128 and W % 256 == 0) else 128
+        sre, sim = _TwCache.get(m, False)
+        interpret = config.FORCE_INTERPRET or jax.default_backend() != "tpu"
+        zre, zim = _rfft_core_call_dma3d(x, jnp.asarray(sre), jnp.asarray(sim),
+                                         n, w_tile, interpret=interpret)
+        return hermitian_post_nb(zre, zim, n)
     n, b = x.shape[-2], x.shape[-1]
     if b % 128 != 0:
         raise ValueError(f"batch (last axis) must be a multiple of 128, got {b}")
@@ -402,6 +503,10 @@ def rfft_nb_fused(x):
 
 
 def _rfft_fused_impl(x):
+    if x.ndim != 2:
+        raise ValueError(
+            f"fused rfft takes 2D [n, batch] planes, got rank {x.ndim}; "
+            f"the 3D native layout runs the hybrid path (rfft_nb)")
     n, b = x.shape[-2], x.shape[-1]
     if n < 16:
         raise ValueError("fused rfft requires n >= 16")
@@ -427,6 +532,10 @@ def irfft_nb_fused(xre, xim):
 
 
 def _irfft_fused_impl(xre, xim):
+    if xre.ndim != 2:
+        raise ValueError(
+            f"fused irfft takes 2D [m+1, batch] planes, got rank {xre.ndim}; "
+            f"the 3D native layout runs the hybrid path (irfft_nb)")
     m1, b = xre.shape[-2], xre.shape[-1]
     m = m1 - 1
     n = 2 * m
@@ -469,12 +578,35 @@ def hermitian_pre_nb(xre, xim, n):
     dim = aim - bim
     ore = -0.5 * dim
     oim = 0.5 * dre
+    if are.ndim == 3:  # native [m+1, 8, W] planes
+        wre = wre.reshape(-1, 1, 1)
+        wim = wim.reshape(-1, 1, 1)
     zre = ere + wre * ore - wim * oim
     zim = eim + wre * oim + wim * ore
     return zre, zim
 
 
 def _irfft_impl(xre, xim):
+    if xre.ndim == 3:
+        m1, s, W = xre.shape
+        m = m1 - 1
+        n = 2 * m
+        if s != 8:
+            raise ValueError(
+                f"3D planes must be [m+1, 8, W] (sublane-folded), got {xre.shape}")
+        if m > config.DMA3D_MAX_N:
+            raise ValueError(
+                f"3D real planes supported for n <= {2 * config.DMA3D_MAX_N}, "
+                f"got {n}; use 2D planes")
+        if W % 128 != 0:
+            raise ValueError(f"W (last axis) must be a multiple of 128, got {W}")
+        zre, zim = hermitian_pre_nb(xre, xim, n)
+        sre, sim = _TwCache.get(m, True)
+        w_tile = 256 if (m <= 128 and W % 256 == 0) else 128
+        interpret = config.FORCE_INTERPRET or jax.default_backend() != "tpu"
+        return _irfft_core_call_dma3d(zre, zim, jnp.asarray(sre),
+                                      jnp.asarray(sim), n, w_tile,
+                                      interpret=interpret)
     m1, b = xre.shape[-2], xre.shape[-1]
     m = m1 - 1
     n = 2 * m
@@ -512,8 +644,10 @@ def _irfft_impl(xre, xim):
 # tests/test_autodiff.py.
 
 
-def _ends_mask(m: int, re0: float, rem: float, core: float = 1.0):
-    s = np.full((m + 1, 1), core, np.float32)
+def _ends_mask(m: int, re0: float, rem: float, core: float = 1.0,
+               ndim: int = 2):
+    shape = (m + 1,) + (1,) * (ndim - 1)
+    s = np.full(shape, core, np.float32)
     s[0] = re0
     s[m] = rem
     return jnp.asarray(s)
@@ -525,14 +659,15 @@ def _rfft_diff(x):
 
 
 def _rfft_diff_fwd(x):
-    return _rfft_impl(x), x.shape[-2]
+    # n is axis 0 in both plane layouts: 2D [n, batch] and 3D [n, 8, W]
+    return _rfft_impl(x), x.shape[0]
 
 
 def _rfft_diff_bwd(n, g):
     gre, gim = g
     m = n // 2
-    gre = gre * _ends_mask(m, 2.0, 2.0)
-    gim = gim * _ends_mask(m, 0.0, 0.0)
+    gre = gre * _ends_mask(m, 2.0, 2.0, ndim=gre.ndim)
+    gim = gim * _ends_mask(m, 0.0, 0.0, ndim=gim.ndim)
     return (jnp.float32(m) * _irfft_impl(gre, gim),)
 
 
@@ -545,7 +680,7 @@ def _irfft_diff(xre, xim):
 
 
 def _irfft_diff_fwd(xre, xim):
-    return _irfft_impl(xre, xim), xre.shape[-2] - 1
+    return _irfft_impl(xre, xim), xre.shape[0] - 1
 
 
 def _irfft_diff_bwd(m, ybar):
@@ -556,7 +691,7 @@ def _irfft_diff_bwd(m, ybar):
     # Xbar[m] = c_m[0] conj(Zbar[0]) -> (rm/2, -r0/2).
     r0 = gre[0:1]
     rm = gre[m:m + 1]
-    gre = gre * _ends_mask(m, 0.5, 0.5)
+    gre = gre * _ends_mask(m, 0.5, 0.5, ndim=gre.ndim)
     gim = jnp.concatenate([-0.5 * rm, gim[1:m], -0.5 * r0], axis=0)
     s = jnp.float32(1.0 / m)
     return gre * s, gim * s
@@ -604,7 +739,7 @@ def _irfft_fused_diff_bwd(m, ybar):
     gre, gim = _rfft_fused_impl(ybar)
     r0 = gre[0:1]
     rm = gre[m:m + 1]
-    gre = gre * _ends_mask(m, 0.5, 0.5)
+    gre = gre * _ends_mask(m, 0.5, 0.5, ndim=gre.ndim)
     gim = jnp.concatenate([-0.5 * rm, gim[1:m], -0.5 * r0], axis=0)
     s = jnp.float32(1.0 / m)
     return gre * s, gim * s
