@@ -130,10 +130,10 @@ def main(full: bool = False) -> None:
         xim = jnp.asarray(host_im)
         tre = np.ascontiguousarray(host_re.T)
         tim = np.ascontiguousarray(host_im.T)
-        if n <= 256:
+        if n <= 2048 and b % 1024 == 0:
             # native sublane-folded layout [n, 8, b/8] (free host reshape;
-            # Exp 28 — chained small-n calls skip the 2D<->3D boundary
-            # relayout): the kernel rank-dispatches on it
+            # Exp 28/38 — chained calls skip the 2D<->3D boundary relayout;
+            # 3D wins through n=2048): the kernel rank-dispatches on it
             tre = tre.reshape(n, 8, b // 8)
             tim = tim.reshape(n, 8, b // 8)
         xre_t = jnp.asarray(tre)
@@ -432,7 +432,7 @@ def main(full: bool = False) -> None:
         try:
             b = max(128, TOTAL_ELEMS // n)
             host = rng.uniform(-1, 1, (n, b)).astype(np.float32)
-            if n <= 2 * _rcfg.DMA3D_MAX_N:
+            if n <= 2 * _rcfg.DMA3D_MAX_N and b % 1024 == 0:
                 # native sublane-folded 3D layout (Exp 37): free host
                 # reshape; the hybrid kernels rank-dispatch on it and the
                 # Hermitian passes run directly on 3D planes

@@ -42,8 +42,12 @@ USE3D_MAX_N = _int_env("WATFFT_USE3D_MAX_N", 256)  # Exp 21: 256@tile1024 69->57
 # (3D block specs: the lane->sublane relayout rides the HBM->VMEM DMA, and
 # chained calls skip the 2D<->3D boundary relayout — Exp 28: pure-3D
 # roundtrips 24.5/36.5/37/35.7/46.5us at n=16/32/64/128/256 vs 55-77us
-# through 2D)
-DMA3D_MAX_N = _int_env("WATFFT_DMA3D_MAX_N", 256)
+# through 2D). Round-3 Exp 38 re-probed the upper crossover: 3D KEEPS
+# winning at 512/1024/2048 (55.9/56.3/60.7us vs 78/77/88 through 2D,
+# 1.4x), so the cap is 2048 — bounded by W = batch/8 needing a full
+# 128-lane tile, not by kernel economics. Also gates the real path's 3D
+# mode at m = n/2 (Exp 37).
+DMA3D_MAX_N = _int_env("WATFFT_DMA3D_MAX_N", 2048)
 DIRECT_MAX = _int_env("WATFFT_DIRECT_MAX", 128)
 # 16384 = largest n whose ~17-plane VMEM live set still compiles at tile 128
 # (Exp 20: 8192 beats jnp 2.31x and the four-step 2.6x; 16384 wins 1.39x)

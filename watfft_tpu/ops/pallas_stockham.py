@@ -479,9 +479,9 @@ _stockham_diff.defvjp(_stockham_diff_fwd, _stockham_diff_bwd)
 def stockham_fft_nb(xre, xim, inverse: bool = False):
     """Batched FFT on time-major planes: 2D [n, batch] (batch on lanes), or
     the NATIVE SUBLANE-FOLDED 3D layout [n, 8, batch//8] for
-    n <= config.DMA3D_MAX_N (default 256; a free host reshape of the same
-    data; chained small-n workloads run ~1.7-2x faster in it because no
-    2D<->3D boundary relayout is ever paid — Exp 28/28c). Returns planes in
+    n <= config.DMA3D_MAX_N (default 2048; a free host reshape of the same
+    data; chained workloads run ~1.4-2x faster in it because no 2D<->3D
+    boundary relayout is ever paid — Exp 28/28c/38). Returns planes in
     the same layout and dtype.
 
     batch (or W) must be a multiple of 128 (pad at the caller). f32 is the
