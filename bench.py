@@ -246,8 +246,13 @@ def main(full: bool = False) -> None:
     try:
         for n in (1024, 4096):
             b = max(128, TOTAL_ELEMS // n)
-            xre_t = jnp.asarray(rng.uniform(-1, 1, (n, b)).astype(np.float32))
-            xim_t = jnp.asarray(rng.uniform(-1, 1, (n, b)).astype(np.float32))
+            hr = rng.uniform(-1, 1, (n, b)).astype(np.float32)
+            hi = rng.uniform(-1, 1, (n, b)).astype(np.float32)
+            if n <= 2048 and b % 1024 == 0:  # native 3D layout (Exp 38)
+                hr = hr.reshape(n, 8, b // 8)
+                hi = hi.reshape(n, 8, b // 8)
+            xre_t = jnp.asarray(hr)
+            xim_t = jnp.asarray(hi)
 
             def istep(c):
                 a, bb = c
