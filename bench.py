@@ -685,11 +685,13 @@ def main(full: bool = False) -> None:
     # ---------------- STFT workload (BASELINE config 4) -------------------
     try:
         n, b = 1024, 4096
-        xr_t = jnp.asarray(rng.uniform(-1, 1, (n, b)).astype(np.float32))
+        # native 3D layout (Exps 37/38): the STFT frame batch rides it too
+        xr_t = jnp.asarray(
+            rng.uniform(-1, 1, (n, b)).astype(np.float32).reshape(n, 8, b // 8))
 
         def sstep(c):
             re, im = rfft_nb(c)
-            # keep carry shape [n, b]: drop the extra bin row
+            # keep carry shape [n, 8, W]: drop the extra bin row
             return jnp.concatenate([re[:-1], im[:-1]], axis=0)[:n]
         xr = jnp.asarray(rng.uniform(-1, 1, (b, n)).astype(np.float32))
 

@@ -102,6 +102,7 @@ def _frames_time_major(x, n_fft: int, hop: int, num: int):
 
 
 def _stft_tpu(x, n_fft: int, hop: int, window: str):
+    from . import config
     from .ops.pallas_rfft import rfft_nb
     x = jnp.asarray(x, jnp.float32)
     t = x.shape[-1]
@@ -117,7 +118,16 @@ def _stft_tpu(x, n_fft: int, hop: int, window: str):
     pad = (-total) % 128
     if pad:
         fr = jnp.pad(fr, ((0, 0), (0, pad)))
-    re, im = rfft_nb(fr)
+    padded = total + pad
+    if n_fft <= 2 * config.DMA3D_MAX_N and padded % 1024 == 0:
+        # native sublane-folded 3D layout (Exp 37): the kernel's core runs
+        # 2.5-4x faster; the output merge back to 2D is one relayout the
+        # downstream moveaxis pipeline absorbs
+        re, im = rfft_nb(fr.reshape(n_fft, 8, padded // 8))
+        re = re.reshape(-1, padded)
+        im = im.reshape(-1, padded)
+    else:
+        re, im = rfft_nb(fr)
     bins = n_fft // 2 + 1
     re = jnp.moveaxis(re[:, :total].reshape(bins, num, lead), -1, 0)
     im = jnp.moveaxis(im[:, :total].reshape(bins, num, lead), -1, 0)
