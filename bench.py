@@ -483,9 +483,17 @@ def main(full: bool = False) -> None:
         for n in (1024, 4096):
             b = max(128, TOTAL_ELEMS // n)
             m = n // 2
-            rf, rif, sname = _r2c_fns(n)
-            sre_t = jnp.asarray(rng.uniform(-1, 1, (m + 1, b)).astype(np.float32))
-            sim_t = jnp.asarray(rng.uniform(-1, 1, (m + 1, b)).astype(np.float32))
+            use3d_r = n <= 2 * _rcfg.DMA3D_MAX_N and b % 1024 == 0
+            if use3d_r:  # native 3D layout (Exp 37): hybrid kernels
+                rf, rif, sname = rfft_nb, irfft_nb, "rfft-pallas"
+                shp_s = (m + 1, 8, b // 8)
+                shp_x = (n, 8, b // 8)
+            else:
+                rf, rif, sname = _r2c_fns(n)
+                shp_s = (m + 1, b)
+                shp_x = (n, b)
+            sre_t = jnp.asarray(rng.uniform(-1, 1, shp_s).astype(np.float32))
+            sim_t = jnp.asarray(rng.uniform(-1, 1, shp_s).astype(np.float32))
 
             def ristep(c):
                 re, im = c
@@ -493,7 +501,7 @@ def main(full: bool = False) -> None:
                 upd = (y[:m + 1] + y[m - 1:]) * jnp.float32(1e-30)
                 return re + upd, im
 
-            xr_t = jnp.asarray(rng.uniform(-1, 1, (n, b)).astype(np.float32))
+            xr_t = jnp.asarray(rng.uniform(-1, 1, shp_x).astype(np.float32))
 
             def rfstep(c):
                 yre, yim = rf(c)
