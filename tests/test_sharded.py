@@ -123,3 +123,19 @@ def test_rfft_batch_sharded_grad():
 
     g = jax.jit(jax.grad(loss))(x)
     np.testing.assert_allclose(np.asarray(g), 2.0 * np.asarray(x), atol=1e-3)
+
+
+@needs_devices
+def test_fft2_sharded_baseline_shape_4096():
+    """BASELINE.json config 5's exact shape: a mesh-sharded 4096x4096 2D FFT
+    (rows sharded over 8 devices, all_to_all transpose) vs np.fft.fft2."""
+    mesh = make_mesh(8)
+    rng = ref.seeded_rng(9)
+    h = w = 4096
+    xre = rng.uniform(-1, 1, (h, w)).astype(np.float32)
+    xim = rng.uniform(-1, 1, (h, w)).astype(np.float32)
+    re, im = jax.jit(lambda a, b: fft2_sharded(a, b, mesh))(xre, xim)
+    got = np.asarray(re) + 1j * np.asarray(im)
+    expected = np.fft.fft2(xre.astype(np.float64) + 1j * xim.astype(np.float64))
+    rel = np.max(np.abs(got - expected)) / np.max(np.abs(expected))
+    assert rel < 5e-6, rel
