@@ -566,20 +566,23 @@ def main(full: bool = False) -> None:
     try:
         from watfft_tpu.ops.doublefloat import (df_fft_nb, df_rfft_nb,
                                                 df_irfft_nb, split_f64)
+        for n in (64, 1024, 4096):  # span the reference's f64 table range
+            b = 256
+            x = rng.uniform(-1, 1, (n, b))
+            y = rng.uniform(-1, 1, (n, b))
+            rh, rl = split_f64(x)
+            ih, il = split_f64(y)
+            args = tuple(jnp.asarray(a) for a in (rh, rl, ih, il))
+
+            def dfstep(c):
+                a, bb, cc, d = df_fft_nb(*c, inverse=False)
+                return df_fft_nb(a, bb, cc, d, inverse=True)
+            t_df = sorted(time_chain(dfstep, args) for _ in range(3))[1]
+            record(f"watfft/doublefloat-pallas/f64/n{n}", t_df, b)
+            print(f"  [df-complex] n={n} b={b}: {2*b/t_df:,.0f}/s",
+                  file=sys.stderr)
+
         n, b = 1024, 256
-        x = rng.uniform(-1, 1, (n, b))
-        y = rng.uniform(-1, 1, (n, b))
-        rh, rl = split_f64(x)
-        ih, il = split_f64(y)
-        args = tuple(jnp.asarray(a) for a in (rh, rl, ih, il))
-
-        def dfstep(c):
-            a, bb, cc, d = df_fft_nb(*c, inverse=False)
-            return df_fft_nb(a, bb, cc, d, inverse=True)
-        t_df = sorted(time_chain(dfstep, args) for _ in range(3))[1]
-        record(f"watfft/doublefloat-pallas/f64/n{n}", t_df, b)
-        print(f"  [df-complex] n={n} b={b}: {2*b/t_df:,.0f}/s", file=sys.stderr)
-
         xh, xl = split_f64(rng.uniform(-1, 1, (n, b)))
         rargs = (jnp.asarray(xh), jnp.asarray(xl))
 
