@@ -49,6 +49,17 @@ void wf_dft_c128(const double* xre, const double* xim,
 // inverse != 0. Phases reduced mod R*l before the trig call.
 // ---------------------------------------------------------------------------
 static int32_t build_plan(int32_t n, int32_t* radices) {
+  // Measured per-size radix-32/64 overrides (Exp 39) — must stay in sync
+  // with _PLAN_OVERRIDES in watfft_tpu/ops/pallas_stockham.py (the
+  // test_native parity test enforces this).
+  switch (n) {
+    case 32:   radices[0] = 32; return 1;
+    case 1024: radices[0] = 64; radices[1] = 16; return 2;
+    case 2048: radices[0] = 64; radices[1] = 32; return 2;
+    case 4096: radices[0] = 64; radices[1] = 64; return 2;
+    case 8192: radices[0] = 32; radices[1] = 16; radices[2] = 16; return 3;
+    default: break;
+  }
   int32_t m = 0;
   while ((1 << m) < n) ++m;
   int32_t count = 0;

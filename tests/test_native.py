@@ -27,7 +27,8 @@ def test_native_dft_matches_numpy_oracle():
 
 
 def test_native_twiddle_pack_matches_python():
-    for n in (16, 64, 128, 1024, 4096):
+    # includes the Exp 39 radix-32/64 override sizes (32/1024/2048/4096/8192)
+    for n in (16, 32, 64, 128, 1024, 2048, 4096, 8192):
         for inverse in (False, True):
             nre, nim = native.twiddle_pack(n, inverse)
             pre, pim, _ = make_twiddle_pack(n, inverse)

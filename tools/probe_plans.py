@@ -108,13 +108,14 @@ def main():
     print(f"platform={jax.devices()[0].platform}")
     cases = {
         64: [((16, 1), (4, 16)),   # current
-             ((64, 1),),           # single full radix
-             ((8, 1), (8, 8)),
-             ((4, 1), (16, 4))],
+             ((64, 1),)],          # single full radix
         32: [((16, 1), (2, 16)),   # current
-             ((32, 1),),
-             ((8, 1), (4, 8))],
-        16: [((16, 1),)],          # current (sanity)
+             ((32, 1),)],
+        128: [((8, 1), (16, 8)),   # current
+              ((128, 1),),         # single full radix
+              ((64, 1), (2, 64))],
+        256: [((16, 1), (16, 16)),  # current
+              ((64, 1), (4, 64))],
     }
     for n, plans in cases.items():
         for plan in plans:

@@ -47,28 +47,50 @@ __all__ = ["stockham_fft_nb", "stockham_fft_nb_postmul",
            "make_twiddle_pack", "stage_plan", "run_stages"]
 
 
+# Measured per-size radix overrides (Exp 39, paired on-chip roundtrips):
+# radix-32/64 stages trade butterfly arithmetic for interleave passes, and
+# the balance is size-specific — (64,1),(32,64) at n=2048 won 1.55-2.0x
+# paired (73.9 -> 36.7us), 4096 won 1.16x, 1024/32/8192 never lost
+# (1.06-1.08x); at n=256 the same move LOSES (0.72-0.83x) so 256 keeps the
+# radix-16 plan. The reference re-validates its codelet dispatch table per
+# hardware generation the same way (fft_real_f32_dual.wat:2434-2443).
+_PLAN_OVERRIDES: dict[int, tuple[int, ...]] = {
+    32: (32,),
+    1024: (64, 16),
+    2048: (64, 32),
+    4096: (64, 64),
+    8192: (32, 16, 16),
+}
+
+
 def stage_plan(n: int) -> list[tuple[int, int]]:
-    """Stage sequence as (R, l) pairs: radix-16 stages plus one {2,4,8}
-    remainder stage — radix-8 leads (twiddle-free, pad-free at l=1, Exp 15);
-    radix-2/4 sit at position 1 (l=16) so their interleave views keep a
-    >=8-sized second-minor dim."""
-    m = n.bit_length() - 1
-    radices: list[int] = []
-    while m >= 4:
-        radices.append(16)
-        m -= 4
-    if m:
-        rem = 1 << m
-        if not radices:
-            radices.append(rem)          # tiny n: single stage
-        elif rem == 8:
-            # radix-8 first: its l=1 stage is twiddle-free AND its [g, 8, b]
-            # merged interleave has no sublane pad — 83 -> 72us at n=2048
-            # (Exp 15). rem 2/4 first would pad 4x/2x on a full-size early
-            # stage (184us/163us measured) so they stay at position 1.
-            radices.insert(0, rem)
-        else:
-            radices.insert(1, rem)
+    """Stage sequence as (R, l) pairs. Default rule: radix-16 stages plus one
+    {2,4,8} remainder stage — radix-8 leads (twiddle-free, pad-free at l=1,
+    Exp 15); radix-2/4 sit at position 1 (l=16) so their interleave views
+    keep a >=8-sized second-minor dim. Per-size measured overrides with
+    radix-32/64 stages where they won paired on-chip (_PLAN_OVERRIDES,
+    Exp 39)."""
+    if n in _PLAN_OVERRIDES:
+        radices = list(_PLAN_OVERRIDES[n])
+    else:
+        m = n.bit_length() - 1
+        radices = []
+        while m >= 4:
+            radices.append(16)
+            m -= 4
+        if m:
+            rem = 1 << m
+            if not radices:
+                radices.append(rem)          # tiny n: single stage
+            elif rem == 8:
+                # radix-8 first: its l=1 stage is twiddle-free AND its
+                # [g, 8, b] merged interleave has no sublane pad — 83 -> 72us
+                # at n=2048 (Exp 15). rem 2/4 first would pad 4x/2x on a
+                # full-size early stage (184us/163us measured) so they stay
+                # at position 1.
+                radices.insert(0, rem)
+            else:
+                radices.insert(1, rem)
     stages = []
     l = 1
     for r in radices:
