@@ -756,7 +756,9 @@ def main(full: bool = False) -> None:
 
     # ---------------- large-N four-step (BASELINE config 5) ---------------
     from watfft_tpu.ops.large import fft_large
-    for log in ((16, 18, 20) if full else (20,)):
+    # 21/22: the 2D tiled-twiddle extension (round-3 session 3 — the fused
+    # pipeline cannot compile there; singles win 1.27x/1.78x vs jnp)
+    for log in ((16, 18, 20, 21, 22) if full else (20, 21, 22)):
         try:
             nn = 1 << log
             xs = jnp.asarray(rng.uniform(-1, 1, nn).astype(np.float32))

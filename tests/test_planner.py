@@ -43,8 +43,15 @@ def test_decision_table_pallas(interpret_mode):
     assert planner.c2c_kernel(32768, "float32") == "large-nb"
     assert planner.c2c_kernel(1 << 20, "float32") == "large-nb"
     # beyond 2^20 the fused stage-2 kernel's VMEM live set cannot compile
-    # (ADVICE r2): those sizes fall back to the XLA four-step
+    # (ADVICE r2): unknown/large batches fall back to the XLA four-step...
     assert planner.c2c_kernel(1 << 21, "float32") == "fourstep"
+    assert planner.c2c_kernel(1 << 21, "float32", batch=128) == "fourstep"
+    # ...but single/small-batch transforms ride the 2D tiled-twiddle
+    # four-step through 2^22 (1.27x/1.78x on chip vs jnp; fourstep ties)
+    assert planner.c2c_kernel(1 << 21, "float32", batch=1) == "large-nb"
+    assert planner.c2c_kernel(1 << 22, "float32", batch=1) == "large-nb"
+    assert planner.c2c_kernel(1 << 22, "float32", batch=4) == "fourstep"  # tw cap
+    assert planner.c2c_kernel(1 << 23, "float32", batch=1) == "fourstep"
     assert planner.c2c_kernel(1024, "float64") == "fourstep"   # f64 tier is separate
     # real path: per-size, PER-DIRECTION codelet table (Exp 32/35 — the
     # fused FORWARD wins at 16/32/64/4096; the fused inverse never beats

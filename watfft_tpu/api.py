@@ -139,8 +139,17 @@ class FFTContext(_BaseContext):
     # backend, f32 n<=4096 routes through the Pallas Stockham kernel behind
     # XLA transposes (Exp 18 — chained calls cancel interior transposes);
     # everything else takes the four-step MXU path.
+    def _bm_batch(self, xre) -> int:
+        """The pow2-padded batch _bm_large would use, for planner dispatch.
+        Shape-only (works on tracers: dispatch must stay trace-static)."""
+        bsz = 1
+        for d in jnp.shape(xre)[:-1]:
+            bsz *= int(d)
+        return 1 << max(0, bsz - 1).bit_length()
+
     def forward_planes(self, xre, xim):
-        kind = planner.c2c_kernel(self.size, self.dtype)
+        kind = planner.c2c_kernel(self.size, self.dtype,
+                                  batch=self._bm_batch(xre))
         if kind == "stockham":
             return self._bm_stockham(xre, xim, inverse=False)
         if kind == "large-nb":
@@ -148,7 +157,8 @@ class FFTContext(_BaseContext):
         return self.forward_planes_fourstep(xre, xim)
 
     def inverse_planes(self, xre, xim):
-        kind = planner.c2c_kernel(self.size, self.dtype)
+        kind = planner.c2c_kernel(self.size, self.dtype,
+                                  batch=self._bm_batch(xim))
         if kind == "stockham":
             return self._bm_stockham(xre, xim, inverse=True)
         if kind == "large-nb":
@@ -220,18 +230,29 @@ class FFTContext(_BaseContext):
     # returns f64 planes, splitting and merging at the boundary.
     def _nb(self, xre, xim, inverse: bool):
         if self.dtype == "float32":
-            if planner.c2c_kernel(self.size, self.dtype) == "large-nb":
+            b0 = int(jnp.shape(xre)[-1])
+            bpow = 1 << max(0, b0 - 1).bit_length()  # pow2 batch for large-nb
+            kind = planner.c2c_kernel(self.size, self.dtype, batch=bpow)
+            if kind == "large-nb":
                 # time-major is fft_large_nb's native layout: pad batch to
                 # a power of two, no transpose
                 from .ops.large import fft_large_nb
                 xre, xim = self._prep(xre), self._prep(xim)
                 b = xre.shape[-1]
-                bpad = 1 << max(0, b - 1).bit_length()
+                bpad = bpow
                 if bpad != b:
                     xre = jnp.pad(xre, ((0, 0), (0, bpad - b)))
                     xim = jnp.pad(xim, ((0, 0), (0, bpad - b)))
                 ore, oim = fft_large_nb(xre, xim, inverse=inverse)
                 return (ore[:, :b], oim[:, :b]) if bpad != b else (ore, oim)
+            if kind == "fourstep":
+                # sizes past every Pallas domain (or batches past the 2D
+                # tiled path's twiddle cap): the always-correct XLA four-step
+                # surface behind a pair of transposes
+                tables = self._inv_tables if inverse else self._fwd_tables
+                ore, oim = self._planes_fn(self._prep(xre).T,
+                                           self._prep(xim).T, tables)
+                return ore.T, oim.T
             from .ops.pallas_stockham import stockham_fft_nb
             xre, xim = self._prep(xre), self._prep(xim)
             b = xre.shape[-1]

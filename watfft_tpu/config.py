@@ -57,6 +57,18 @@ STOCKHAM_MAX_N = _int_env("WATFFT_STOCKHAM_MAX_N", 16384)
 # live planes (~143MB) exceed the VMEM limit — beyond this the XLA four-step
 # path takes over (ADVICE r2 planner cap)
 LARGE_NB_MAX_N = _int_env("WATFFT_LARGE_NB_MAX_N", 1 << 20)
+# Past the fused pipeline's ceiling the 2D tiled-twiddle four-step path
+# (fft_large_nb's b % 128 != 0 branch) still wins for single/small-batch
+# transforms: 1.27x at 2^21 and 1.78x at 2^22 vs jnp on chip, where the
+# XLA fourstep only ties (1.00x) — round-3 session-3 probe
+# (tools/probe_large22.py). The fused pipe2 itself CANNOT extend there:
+# tbk=4 violates Mosaic's sublane divisibility on the [n1, tbk, 128]
+# output block and tbk=8 crashes the compiler at n1=1024/n2=2048.
+LARGE_2D_MAX_N = _int_env("WATFFT_LARGE_2D_MAX_N", 1 << 22)
+# The 2D path pre-tiles the four-step twiddle across the in-column batch
+# ([n2, n1*b] host arrays); cap its footprint so dispatch never builds a
+# multi-GB table (b_max = cap / (n * 8 bytes): 4 at 2^21, 2 at 2^22).
+TILED_TW_CAP_BYTES = _int_env("WATFFT_TILED_TW_CAP_MB", 64) * 1024 * 1024
 # Crossover points measured on chip (round-3 valley probe, Exp 31):
 #   8192:  cube(128x64)  2.59x  vs stockham 2.13x, pipe2 1.98x
 #   16384: cube(128x128) 2.22x  vs stockham 1.14x, pipe2 1.35x

@@ -359,6 +359,17 @@ def fft_large_nb(xre, xim, inverse: bool = False, split=None, tbk=None,
             f"(got {b}); pad the batch axis at the caller")
     interpret = config.FORCE_INTERPRET or jax.default_backend() != "tpu"
     if b % 128 == 0:
+        if n > config.LARGE_NB_MAX_N:
+            # The fused pipeline cannot compile past 2^20: stage 2's
+            # [n1, tbk, 128] output block needs tbk >= 8 (Mosaic sublane
+            # divisibility) and tbk=8 at n1 >= 1024 / n2 >= 2048 crashes the
+            # TPU compiler (round-3 session-3 probe). Large batches at these
+            # sizes belong on the XLA fourstep surface; batches < 128 take
+            # the 2D tiled path below.
+            raise ValueError(
+                f"fft_large_nb: N={n} with batch % 128 == 0 exceeds the "
+                f"fused pipeline's ceiling (2^20); use the fourstep surface "
+                f"or a batch < 128")
         pmre, pmim = _TwCache.get(n, n1, n2, inverse)
         s1re, s1im = _StageTwCache.get(n2, inverse)
         s2re, s2im = _StageTwCache.get(n1, inverse)

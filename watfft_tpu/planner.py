@@ -51,10 +51,18 @@ def pallas_available() -> bool:
     return config.FORCE_INTERPRET or jax.default_backend() == "tpu"
 
 
-def c2c_kernel(n: int, dtype: str) -> str:
+def c2c_kernel(n: int, dtype: str, batch: int | None = None) -> str:
     """'stockham' (Pallas VPU kernel), 'large-nb' (batched four-step with
     both factor FFTs on the Pallas kernel — round-2 Exp 22: the XLA einsum
-    path LOST to jnp at n=32768, x0.75), or 'fourstep' (XLA MXU matmuls)."""
+    path LOST to jnp at n=32768, x0.75), or 'fourstep' (XLA MXU matmuls).
+
+    batch: the transform batch the caller will pass (post any padding).
+    Only consulted in the 2^21-2^22 range, where the Pallas path survives
+    solely as the 2D tiled-twiddle four-step (fft_large_nb's b % 128 != 0
+    branch — the fused pipeline cannot compile there, config.LARGE_2D_MAX_N
+    note): dispatched only when the pre-tiled twiddle stays within
+    config.TILED_TW_CAP_BYTES. batch=None means unknown -> conservative
+    'fourstep' in that range."""
     if dtype == "float32" and pallas_available() and is_power_of_two(n):
         # Round-3 crossover (config.py table): the four-step overtakes the
         # single kernel at 2^13 — cube 2.59x vs stockham 2.13x at 8192,
@@ -62,14 +70,19 @@ def c2c_kernel(n: int, dtype: str) -> str:
         if 2 <= n < min(config.LARGE_NB_MIN_N,
                         config.STOCKHAM_MAX_N + 1):
             return "stockham"
-        # Upper bound matches the registry's large-nb domain: beyond 2^20 the
-        # fused stage-2 kernel's VMEM live set (~17 [n1, tile] f32 planes at
-        # n1=2048) exceeds VMEM_LIMIT_BYTES and would fail to compile
-        # (ADVICE r2); those sizes take the XLA four-step instead.
+        # Fused-pipeline domain: beyond 2^20 the stage-2 kernel's VMEM live
+        # set (~17 [n1, tile] f32 planes at n1=2048) exceeds
+        # VMEM_LIMIT_BYTES and fails to compile (ADVICE r2).
         if config.LARGE_NB_MIN_N <= n <= config.LARGE_NB_MAX_N:
             return "large-nb"
         if n <= config.STOCKHAM_MAX_N:
             return "stockham"
+        # 2^21-2^22: single/small-batch transforms ride the 2D tiled path
+        # (1.27x/1.78x vs jnp on chip; the XLA fourstep ties at 1.00x)
+        if (n <= config.LARGE_2D_MAX_N and batch is not None
+                and batch % 128 != 0
+                and batch * n * 8 <= config.TILED_TW_CAP_BYTES):
+            return "large-nb"
     return "fourstep"
 
 

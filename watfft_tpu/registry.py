@@ -516,9 +516,12 @@ def _build_registry() -> list[SurfaceEntry]:
         # batched four-step on the Pallas kernel — the planner's dispatch
         # target for n > 16384 (round-2 Exp 22: x1.18 at 32768, x2.59 at
         # 2^17 vs jnp; the XLA einsum path lost at 0.75x)
+        # max 2^22: past 2^20 only the 2D tiled-twiddle branch survives
+        # (single/small-batch; the registry adapter runs batch=1), winning
+        # 1.27x/1.78x at 2^21/2^22 where the XLA fourstep ties jnp
         out.append(SurfaceEntry(
             name="large-nb", surface=surface, dtype="float32",
-            min_size=1 << 14, max_size=1 << 20, flagship=False, baseline=False,
+            min_size=1 << 14, max_size=1 << 22, flagship=False, baseline=False,
             make=_mk_large_nb(inverse)))
     for dtype in ("float32", "float64"):
         max_n = 1 << 20
