@@ -133,3 +133,27 @@ def test_real_3d_native_layout(n):
     np.testing.assert_allclose(np.asarray(re2), np.asarray(re), atol=1e-6)
     back2 = np.asarray(ctx.inverse_planes_nb(re2, im2)).reshape(n, b)
     assert np.max(np.abs(back2 - x2)) < 1e-4
+
+
+@pytest.mark.parametrize("n", [64, 512, 2048])
+def test_fused_mirror_lane_concat(n, monkeypatch):
+    """Exp 41: the lane-concat mirror variant (_mirror_rows_many — one
+    [G, G] @ [G, 2*nb*b] dot for re+im and all row blocks) must produce
+    bit-identical spectra to the per-block mirror, both directions."""
+    import jax.numpy as jnp
+    from watfft_tpu import config
+    from watfft_tpu.ops import pallas_rfft as pr
+    rng = ref.seeded_rng(n)
+    x = jnp.asarray(rng.uniform(-1, 1, (n, 128)).astype(np.float32))
+    monkeypatch.setattr(config, "RFFT_MIRROR_LC_SIZES", frozenset())
+    re0, im0 = pr._rfft_fused_impl(x)
+    y0 = pr._irfft_fused_impl(re0, im0)
+    monkeypatch.setattr(config, "RFFT_MIRROR_LC_SIZES", frozenset({n}))
+    re1, im1 = pr._rfft_fused_impl(x)
+    y1 = pr._irfft_fused_impl(re1, im1)
+    np.testing.assert_allclose(np.asarray(re1), np.asarray(re0), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(im1), np.asarray(im0), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y0), atol=1e-5)
+    expected = np.fft.rfft(np.asarray(x, np.float64), axis=0)
+    got = np.asarray(re1) + 1j * np.asarray(im1)
+    assert np.max(np.abs(got - expected)) / np.max(np.abs(expected)) < 5e-6

@@ -99,6 +99,14 @@ RFFT_FUSED_FWD_SIZES = frozenset(
 RFFT_FUSED_INV_SIZES = frozenset(
     int(s) for s in os.environ.get(
         "WATFFT_RFFT_FUSED_INV_SIZES", "").split(",") if s)
+# Lane-concat mirror (Exp 41): realize the fused kernels' Hermitian mirror
+# as ONE [G, G] @ [G, 2*nb*tile_b] matmul (re+im and all row blocks
+# concatenated on the lane axis) instead of 2*nb separate [G, G] dots.
+# Sizes where it measured faster than the per-block form are listed here;
+# n in this set flips the fused kernels to _mirror_rows_many.
+RFFT_MIRROR_LC_SIZES = frozenset(
+    int(s) for s in os.environ.get(
+        "WATFFT_RFFT_MIRROR_LC_SIZES", "").split(",") if s)
 FORCE_INTERPRET = os.environ.get("WATFFT_INTERPRET", "") not in ("", "0", "false")
 
 

@@ -345,6 +345,14 @@ def _mirror_block_matrix(m: int) -> np.ndarray:
     return j
 
 
+_MIRROR_DOT = functools.partial(
+    jax.lax.dot_general,
+    dimension_numbers=(((1,), (0,)), ((), ())),
+    preferred_element_type=jnp.float32,
+    precision=jax.lax.Precision.HIGHEST,
+)
+
+
 def _mirror_rows(z, jblk, extra_row0=None):
     """M[k] = z[(m - k) mod m] on [m, b] VMEM values via the blocked MXU
     mirror: per output block i, rows t >= 1 come from input block nb-1-i
@@ -356,15 +364,9 @@ def _mirror_rows(z, jblk, extra_row0=None):
     m, b = z.shape
     g = jblk.shape[0]
     nb = m // g
-    dot = functools.partial(
-        jax.lax.dot_general,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
     pieces = []
     for i in range(nb):
-        blk = dot(jblk, z[(nb - 1 - i) * g:(nb - i) * g])  # row 0 is zero
+        blk = _MIRROR_DOT(jblk, z[(nb - 1 - i) * g:(nb - i) * g])  # row 0 zero
         if i == 0 and extra_row0 is not None:
             pieces.append(extra_row0)
         else:
@@ -374,7 +376,41 @@ def _mirror_rows(z, jblk, extra_row0=None):
     return jnp.concatenate(pieces, axis=0)
 
 
-def _rfft_fused_kernel(n, offsets, stages,
+def _mirror_rows_many(zs, jblk, extra_row0s=None):
+    """Lane-concat blocked mirror (Exp 41): mirror SEVERAL [m, b] planes
+    with ONE [G, G] @ [G, nplanes*nb*b] matmul. Same MACs as the per-block
+    form, 1/(nplanes*nb) the matmul count — the per-block form is
+    matmul-latency-bound at the sizes where the fused kernel loses to the
+    hybrid (docs/OPTIMIZATION_PLAN.md headroom #2/f). The block reorder and
+    the re/im pairing ride the lane axis: cheap concats/slices of aligned
+    [G, b] tiles, no relayout of the sublane axis anywhere."""
+    m, b = zs[0].shape
+    g = jblk.shape[0]
+    nb = m // g
+    if extra_row0s is None:
+        extra_row0s = [None] * len(zs)
+    cols = []
+    for z in zs:
+        for i in range(nb):
+            cols.append(z[(nb - 1 - i) * g:(nb - i) * g])
+    big = _MIRROR_DOT(jblk, jnp.concatenate(cols, axis=1))  # rows 0 are zero
+    res = []
+    for p, z in enumerate(zs):
+        pieces = []
+        for i in range(nb):
+            c = (p * nb + i) * b
+            blk = big[:, c:c + b]
+            if i == 0 and extra_row0s[p] is not None:
+                pieces.append(extra_row0s[p])
+            else:
+                src = ((nb - i) % nb) * g
+                pieces.append(z[src:src + 1])
+            pieces.append(blk[1:])
+        res.append(jnp.concatenate(pieces, axis=0))
+    return res
+
+
+def _rfft_fused_kernel(n, offsets, stages, lc,
                        x_ref, twre_ref, twim_ref, wre_ref, wim_ref, jm_ref,
                        ore_ref, oim_ref):
     m = n // 2
@@ -390,8 +426,11 @@ def _rfft_fused_kernel(n, offsets, stages,
     # B[k] = Z[(m-k) mod m] via the blocked MXU mirror (k = 0 wraps to Z[0],
     # which makes the DC formula below exact: X[0] = Re(Z0) + Im(Z0))
     jm = jm_ref[:]
-    bre = _mirror_rows(zre, jm)
-    bim = _mirror_rows(zim, jm)
+    if lc:
+        bre, bim = _mirror_rows_many([zre, zim], jm)
+    else:
+        bre = _mirror_rows(zre, jm)
+        bim = _mirror_rows(zim, jm)
     ere = 0.5 * (zre + bre)
     eim = 0.5 * (zim - bim)
     ore = 0.5 * (zim + bim)
@@ -405,7 +444,7 @@ def _rfft_fused_kernel(n, offsets, stages,
     oim_ref[m:m + 1, :] = jnp.zeros((1, b), x.dtype)
 
 
-def _irfft_fused_kernel(n, offsets, stages,
+def _irfft_fused_kernel(n, offsets, stages, lc,
                         xre_ref, xim_ref, twre_ref, twim_ref,
                         wre_ref, wim_ref, jm_ref, o_ref):
     m = n // 2
@@ -415,8 +454,14 @@ def _irfft_fused_kernel(n, offsets, stages,
     # B[k] = conj(X[m-k]), k = 0..m-1: the blocked mirror of the core rows,
     # with the k = 0 boundary row reading the Nyquist row m
     jm = jm_ref[:]
-    bre = _mirror_rows(xre_ref[0:m], jm, extra_row0=xre_ref[m:m + 1])
-    bim = -_mirror_rows(xim_ref[0:m], jm, extra_row0=xim_ref[m:m + 1])
+    if lc:
+        bre, bim = _mirror_rows_many(
+            [xre_ref[0:m], xim_ref[0:m]], jm,
+            extra_row0s=[xre_ref[m:m + 1], xim_ref[m:m + 1]])
+        bim = -bim
+    else:
+        bre = _mirror_rows(xre_ref[0:m], jm, extra_row0=xre_ref[m:m + 1])
+        bim = -_mirror_rows(xim_ref[0:m], jm, extra_row0=xim_ref[m:m + 1])
     ere = 0.5 * (are + bre)
     eim = 0.5 * (aim + bim)
     ore = -0.5 * (aim - bim)
@@ -430,13 +475,14 @@ def _irfft_fused_kernel(n, offsets, stages,
     o_ref[:] = jnp.stack([zre, zim], axis=1).reshape(n, b)
 
 
-@_ft.partial(jax.jit, static_argnames=("n", "tile_b", "interpret"))
-def _rfft_fused_call(x, twre, twim, wre, wim, jm, n, tile_b, interpret=False):
+@_ft.partial(jax.jit, static_argnames=("n", "tile_b", "interpret", "lc"))
+def _rfft_fused_call(x, twre, twim, wre, wim, jm, n, tile_b, interpret=False,
+                     lc=False):
     m = n // 2
     b = x.shape[-1]
     stages = tuple(_stage_plan(m))
     offsets = _mk_pack(m, False)[2]
-    kernel = _ft.partial(_rfft_fused_kernel, n, offsets, stages)
+    kernel = _ft.partial(_rfft_fused_kernel, n, offsets, stages, lc)
     grid = (b // tile_b,)
     xblock = pl.BlockSpec((n, tile_b), lambda i: (0, i), memory_space=pltpu.VMEM)
     oblock = pl.BlockSpec((m + 1, tile_b), lambda i: (0, i), memory_space=pltpu.VMEM)
@@ -454,14 +500,14 @@ def _rfft_fused_call(x, twre, twim, wre, wim, jm, n, tile_b, interpret=False):
     )(x, twre, twim, wre, wim, jm)
 
 
-@_ft.partial(jax.jit, static_argnames=("n", "tile_b", "interpret"))
+@_ft.partial(jax.jit, static_argnames=("n", "tile_b", "interpret", "lc"))
 def _irfft_fused_call(xre, xim, twre, twim, wre, wim, jm, n, tile_b,
-                      interpret=False):
+                      interpret=False, lc=False):
     m = n // 2
     b = xre.shape[-1]
     stages = tuple(_stage_plan(m))
     offsets = _mk_pack(m, True)[2]
-    kernel = _ft.partial(_irfft_fused_kernel, n, offsets, stages)
+    kernel = _ft.partial(_irfft_fused_kernel, n, offsets, stages, lc)
     grid = (b // tile_b,)
     xblock = pl.BlockSpec((m + 1, tile_b), lambda i: (0, i), memory_space=pltpu.VMEM)
     oblock = pl.BlockSpec((n, tile_b), lambda i: (0, i), memory_space=pltpu.VMEM)
@@ -522,7 +568,8 @@ def _rfft_fused_impl(x):
         tile_b = 128
     interpret = config.FORCE_INTERPRET or jax.default_backend() != "tpu"
     return _rfft_fused_call(x, sre, sim, wre, wim, jm, n, tile_b,
-                            interpret=interpret)
+                            interpret=interpret,
+                            lc=n in config.RFFT_MIRROR_LC_SIZES)
 
 
 def irfft_nb_fused(xre, xim):
@@ -552,7 +599,8 @@ def _irfft_fused_impl(xre, xim):
         tile_b = 128
     interpret = config.FORCE_INTERPRET or jax.default_backend() != "tpu"
     return _irfft_fused_call(xre, xim, sre, sim, wre, wim, jm, n, tile_b,
-                             interpret=interpret)
+                             interpret=interpret,
+                             lc=n in config.RFFT_MIRROR_LC_SIZES)
 
 
 def irfft_nb(xre, xim):
