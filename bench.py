@@ -361,6 +361,19 @@ def main(full: bool = False) -> None:
             rel = raw_times.get(n)
             extra = f" ({rel / t_b16:.2f}x the f32 tier)" if rel else ""
             print(f"  [bf16] n={n}: {2*b/t_b16:,.0f}/s{extra}", file=sys.stderr)
+            # bf16 COMPUTE tier (Exp 42): butterflies stay bf16 in-kernel
+            from watfft_tpu import config as _bcfg
+            _bcfg.BF16_COMPUTE = True
+            try:
+                t_bc = sorted(time_chain(bstep, (xre_h, xim_h))
+                              for _ in range(5))[2]
+            finally:
+                _bcfg.BF16_COMPUTE = False
+            t_bc = max(t_bc, _roundtrip_floor(xre_h.size) / 2)
+            record(f"watfft/stockham-bf16/bf16-compute/n{n}", t_bc, b)
+            extrac = f" ({rel / t_bc:.2f}x the f32 tier)" if rel else ""
+            print(f"  [bf16-comp] n={n}: {2*b/t_bc:,.0f}/s{extrac}",
+                  file=sys.stderr)
     except Exception as e:
         print(f"  bf16 bench failed: {str(e)[:120]}", file=sys.stderr)
 

@@ -77,3 +77,29 @@ def test_native_3d_layout_rejects_bad_shapes():
     with pytest.raises(ValueError):  # W not lane-aligned
         stockham_fft_nb(np.zeros((16, 8, 100), np.float32),
                         np.zeros((16, 8, 100), np.float32))
+
+
+@pytest.mark.parametrize("n", [64, 1024])
+def test_bf16_compute_tier(n, monkeypatch):
+    """bf16 COMPUTE tier (round-3 headroom d, config.BF16_COMPUTE): the
+    butterflies themselves run in bfloat16 (bf16 twiddle pack, weak-typed
+    codelet scalars). Accuracy degrades to ~1e-2 — the documented
+    speed/precision trade — and the roundtrip must still reconstruct to
+    bf16-resolution."""
+    from watfft_tpu import config
+    monkeypatch.setattr(config, "BF16_COMPUTE", True)
+    rng = ref.seeded_rng(n + 3)
+    b = 128
+    xre = rng.uniform(-1, 1, (n, b)).astype(np.float32)
+    xim = rng.uniform(-1, 1, (n, b)).astype(np.float32)
+    yre, yim = stockham_fft_nb(jnp.asarray(xre, jnp.bfloat16),
+                               jnp.asarray(xim, jnp.bfloat16))
+    assert yre.dtype == jnp.bfloat16
+    got = (np.asarray(yre.astype(jnp.float32))
+           + 1j * np.asarray(yim.astype(jnp.float32)))
+    expected = ref.dft(xre.T + 1j * xim.T).T
+    err = np.max(np.abs(got - expected)) / np.max(np.abs(expected))
+    assert err < 5e-2, err
+    bre, bim = stockham_fft_nb(yre, yim, inverse=True)
+    back = np.asarray(bre.astype(jnp.float32))
+    assert np.max(np.abs(back - xre)) < 1e-1

@@ -99,6 +99,15 @@ RFFT_FUSED_FWD_SIZES = frozenset(
 RFFT_FUSED_INV_SIZES = frozenset(
     int(s) for s in os.environ.get(
         "WATFFT_RFFT_FUSED_INV_SIZES", "").split(",") if s)
+# bf16 COMPUTE tier (round-3 headroom d): when set, bfloat16 planes run
+# the Stockham butterflies in bf16 end-to-end (bf16 twiddles, weak-typed
+# codelet constants) instead of converting to f32 at the kernel boundary.
+# Accuracy ~1e-2 (8-bit mantissa over log stages) — a speed/precision
+# trade the caller opts into per-process; default off keeps the bf16
+# INTEROP tier's f32-butterfly accuracy (~4e-3).
+BF16_COMPUTE = os.environ.get(
+    "WATFFT_BF16_COMPUTE", "") not in ("", "0", "false")
+
 # Lane-concat mirror (Exp 41): realize the fused kernels' Hermitian mirror
 # as ONE [G, G] @ [G, 2*nb*tile_b] matmul (re+im and all row blocks
 # concatenated on the lane axis) instead of 2*nb separate [G, G] dots.

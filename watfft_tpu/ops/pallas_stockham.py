@@ -176,9 +176,11 @@ def _small_dft(res, ims, inverse: bool):
             else:
                 tre, tim = oiq, -orq
         else:
-            wr32, wi32 = np.float32(wr), np.float32(wi)
-            tre = orq * wr32 - oiq * wi32
-            tim = orq * wi32 + oiq * wr32
+            # python-float scalars are weak-typed: they follow the array
+            # dtype (f32 tier stays f32; the bf16 compute tier stays bf16
+            # instead of promoting every butterfly product to f32)
+            tre = orq * wr - oiq * wi
+            tim = orq * wi + oiq * wr
         out_re[q] = ere[q] + tre
         out_im[q] = eim[q] + tim
         out_re[q + half] = ere[q] - tre
@@ -227,8 +229,9 @@ def run_stages(cre, cim, n, inverse, offsets, stages, twre, twim,
 
     twre/twim: packed per-stage twiddle column values ([total, 1]).
     fold_scale: fold 1/n into the final stage for the inverse (native
-    normalized inverse; set False when the caller folds scaling elsewhere)."""
-    inv_scale = jnp.float32(1.0 / n)
+    normalized inverse; set False when the caller folds scaling elsewhere).
+    Arithmetic follows the value dtype (f32 tier / bf16 compute tier)."""
+    inv_scale = jnp.asarray(1.0 / n, cre.dtype)
     for idx, (r, l) in enumerate(stages):
         is_final = idx == len(stages) - 1
         tw = None
@@ -241,16 +244,21 @@ def run_stages(cre, cim, n, inverse, offsets, stages, twre, twim,
     return cre, cim
 
 
-def _kernel(n, inverse, offsets, stages, use3d,
+def _kernel(n, inverse, offsets, stages, use3d, bf16c,
             xre_ref, xim_ref, twre_ref, twim_ref, ore_ref, oim_ref):
-    # bf16 tier (round-2 Exp 26): planes may be bfloat16 in HBM;
-    # butterflies always run in f32 so only the I/O rounding costs accuracy
+    # bf16 INTEROP tier (round-2 Exp 26): planes may be bfloat16 in HBM;
+    # butterflies run in f32 so only the I/O rounding costs accuracy
     # (~4e-3). Measured on chip: the in-kernel convert/retile costs roughly
-    # what the halved HBM traffic saves (0.8-1.1x the f32 tier), so this is
-    # an INTEROP tier — bf16-resident pipelines skip their external convert
-    # passes — not a speed tier.
-    cre = xre_ref[:].astype(jnp.float32)
-    cim = xim_ref[:].astype(jnp.float32)
+    # what the halved HBM traffic saves (0.8-1.1x the f32 tier).
+    # bf16 COMPUTE tier (round-3 headroom d, bf16c=True): butterflies stay
+    # bfloat16 end-to-end (bf16 twiddle pack, weak-typed codelet scalars),
+    # halving VMEM/register traffic for every stage at ~1e-2 accuracy.
+    if bf16c:
+        cre = xre_ref[:]
+        cim = xim_ref[:]
+    else:
+        cre = xre_ref[:].astype(jnp.float32)
+        cim = xim_ref[:].astype(jnp.float32)
     if use3d:
         # small-n mode (Exp 10): lift lanes into a full (8, w) tiled minor
         # pair so single-row part slices never pad sublanes 8x. Costs one
@@ -371,13 +379,19 @@ def _stockham_call_dma3d(xre, xim, twre, twim, n, inverse, w_tile,
     )(xre, xim, twre, twim)
 
 
-@functools.partial(jax.jit, static_argnames=("n", "inverse", "tile_b", "interpret"))
-def _stockham_call(xre, xim, twre, twim, n, inverse, tile_b, interpret=False):
+@functools.partial(jax.jit, static_argnames=("n", "inverse", "tile_b",
+                                             "interpret", "bf16c"))
+def _stockham_call(xre, xim, twre, twim, n, inverse, tile_b, interpret=False,
+                   bf16c=False):
     b = xre.shape[-1]
     stages = tuple(stage_plan(n))
     offsets = make_twiddle_pack(n, inverse)[2]
     use3d = n <= config.USE3D_MAX_N and tile_b >= 1024 and tile_b % 8 == 0
-    kernel = functools.partial(_kernel, n, inverse, offsets, stages, use3d)
+    if bf16c:
+        twre = twre.astype(jnp.bfloat16)
+        twim = twim.astype(jnp.bfloat16)
+    kernel = functools.partial(_kernel, n, inverse, offsets, stages, use3d,
+                               bf16c)
     grid = (b // tile_b,)
     block = pl.BlockSpec((n, tile_b), lambda i: (0, i), memory_space=pltpu.VMEM)
     twspec = pl.BlockSpec(twre.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
@@ -469,8 +483,9 @@ def _stockham_impl(xre, xim, inverse: bool):
     tile_b = _pick_tile(n, b)
     if b % tile_b != 0:
         tile_b = 128
+    bf16c = bool(config.BF16_COMPUTE) and xre.dtype == jnp.bfloat16
     return _stockham_call(xre, xim, twre, twim, n, inverse, tile_b,
-                          interpret=interpret)
+                          interpret=interpret, bf16c=bf16c)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
