@@ -9,9 +9,18 @@ ALL NINE powers of the BASELINE.json N sweep (N=16..4096, matching the
 reference's per-size table README.md:17-25). Timing = seconds per
 forward+inverse roundtrip measured as the SLOPE between two lax.fori_loop
 chain lengths (cancels the axon tunnel's ~28 ms fixed dispatch/sync
-overhead; see watfft_tpu/bench/harness.py:time_chain). Each side runs in
-its preferred layout with split-plane I/O: ours time-major [n, batch]
-(batch on lanes), jnp.fft batch-major [batch, n].
+overhead; see watfft_tpu/bench/harness.py:ChainTimer).
+
+Budget discipline (round-4, VERDICT r3 #1 — BENCH_r03 timed out with no
+parsed metric): the headline JSON line prints IMMEDIATELY after the
+headline sweep, before any other section, so even a truncated run yields
+the metric; chains compile ONCE per side (ChainTimer) against a persistent
+compilation cache (.jax_cache); non-headline sections run one
+representative point each and stop when the WATFFT_BENCH_BUDGET_S budget
+(default 540 s) runs out — a truncated run saves to headline.partial.json
+so the committed full-run snapshot is never clobbered. --full widens every
+sweep (the reference's CI runs a 30 s bench smoke while full benches run
+locally — time-budgeted benching is part of the apparatus, ci.yml).
 
 Clamp policy (round-3, ADVICE r2): only OUR times are clamped up to the
 duplex-HBM floor (anti-cheat — a Pallas kernel cannot move data faster
@@ -20,14 +29,15 @@ fori chains can legitimately beat HBM rooflines via VMEM-resident carries
 (Exp 17) — clamping the baseline UP would inflate our speedups. Every
 timed row carries eff_gbps (bytes-moved / time, duplex-counted) in the
 results JSON so each number is auditable against physics; rows within
-1.2x of the clamp are flagged on stderr.
+1.2x of the clamp are flagged on stderr. Per-rep times/ratios are
+persisted in each row's samples/cv fields (VERDICT r3 Weak #6).
 
-The DEFAULT mode also benches one representative point for EVERY
-non-baseline registry surface (BENCHED_SURFACES below; enforced by
+The DEFAULT mode benches one representative point for EVERY non-baseline
+registry surface (BENCHED_SURFACES below; enforced by
 tests/test_meta.py::test_bench_enumerates_registry — the reference's
 BENCH_COVERAGE meta-test, wat-surfaces.mjs:217-231, existed because a stale
 bench mis-reported for two generations), plus the STFT workload and the
-large-N four-step (BASELINE configs 4-5). --full widens the sweeps.
+large-N four-step (BASELINE configs 4-5).
 
 vs_baseline = value / 2.0 (the BASELINE target is >=2x jnp.fft per chip).
 Details go to stderr + benchmarks/results/headline.latest.json.
@@ -36,7 +46,9 @@ Details go to stderr + benchmarks/results/headline.latest.json.
 import json
 import math
 import os
+import statistics
 import sys
+import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -75,50 +87,65 @@ def _roundtrip_floor(plane_elems: int) -> float:
     return (4 * plane_elems * 4) / HBM_BW_PER_DIR
 
 
-def _paired(time_chain, ours_step, ours_args, base_step, base_args,
-            reps=3, floor_ours=0.0, **chain_kw):
-    """Paired-interleaved timing (the round-2 methodology, applied to EVERY
-    comparison section in round 3): each rep measures OURS then BASELINE
-    back-to-back — seconds apart, far inside the tunnel's hour-scale drift —
-    and the reported speedup is the MEDIAN OF PAIRED RATIOS, which cancels
-    common-mode drift. Sections that timed each side separately (3 sorted
-    medians each) showed +-15-30% cross-run swings (Exp 33's [real] n=256:
-    1.9-3.4x); pairing bounds that. Only OUR side is clamped (ADVICE r2).
-    Returns (t_ours, t_base, ratio) — medians over reps."""
-    ratios, t_os, t_bs = [], [], []
-    for _ in range(reps):
-        t_o = max(time_chain(ours_step, ours_args, **chain_kw), floor_ours)
-        t_b = time_chain(base_step, base_args, **chain_kw)
-        ratios.append(t_b / t_o)
-        t_os.append(t_o)
-        t_bs.append(t_b)
-    mid = reps // 2
-    return sorted(t_os)[mid], sorted(t_bs)[mid], sorted(ratios)[mid]
-
-
 def main(full: bool = False) -> None:
+    t_start = time.perf_counter()
+    budget_s = float(os.environ.get("WATFFT_BENCH_BUDGET_S", "540"))
+    if full:
+        budget_s = float("inf")
+    truncated = []
+
+    def over_budget(section: str) -> bool:
+        if time.perf_counter() - t_start > budget_s:
+            truncated.append(section)
+            print(f"  [budget] skipping section {section} "
+                  f"({time.perf_counter()-t_start:.0f}s elapsed > "
+                  f"{budget_s:.0f}s budget)", file=sys.stderr)
+            return True
+        return False
+
     import jax
     import jax.numpy as jnp
     from watfft_tpu.api import FFTContext, RFFTContext
     from watfft_tpu.ops.pallas_stockham import stockham_fft_nb
     from watfft_tpu.bench.harness import (save_results, BenchResult,
-                                          time_chain, run_benchmark)
+                                          ChainTimer, paired_chain,
+                                          time_chain, run_benchmark,
+                                          enable_compile_cache)
+    enable_compile_cache()
 
     rng = np.random.default_rng(12345)
     results = []
     speedups = []
 
-    def record(name, t, b, items=2, nbytes=0):
+    def record(name, t, b, items=2, nbytes=0, times=None):
         """nbytes: duplex-counted HBM traffic model for the timed step (the
         same accounting as _roundtrip_floor: simultaneous read+write is ONE
-        pass), so eff_gbps is directly auditable against HBM_BW_PER_DIR."""
+        pass), so eff_gbps is directly auditable against HBM_BW_PER_DIR.
+        times: the per-rep slope times — persisted as per-rep ops/s samples
+        + their cv, so the snapshot carries the real spread of exactly what
+        the reported number was computed from (VERDICT r3 Weak #6)."""
         eff = (nbytes / t / 1e9) if nbytes else 0.0
+        samples = [items * b / tt for tt in (times or [])]
+        cv = 0.0
+        if times and len(times) > 1:
+            m = statistics.fmean(times)
+            cv = statistics.pstdev(times) / m if m > 0 else 0.0
         results.append(BenchResult(name=name, ops_per_sec=items * b / t,
-                                   cv=0.0, batch=b, items_per_call=items * b,
-                                   samples=[], eff_gbps=round(eff, 1)))
+                                   cv=round(cv, 4), batch=b,
+                                   items_per_call=items * b,
+                                   samples=[round(s, 1) for s in samples],
+                                   eff_gbps=round(eff, 1)))
         if nbytes and eff > HBM_BW_PER_DIR / 1e9 / 1.2:
             print(f"  !! {name}: eff {eff:,.0f} GB/s is within 1.2x of the "
                   f"{HBM_BW_PER_DIR/1e9:,.0f} GB/s clamp", file=sys.stderr)
+
+    def _solo(step, args, reps=3, floor=0.0, **kw):
+        """Single-sided chain timing: compile once, median of `reps` slopes.
+        Returns (median, per-rep times)."""
+        t = ChainTimer(step, args)
+        t.calibrate(**kw)
+        ts = [max(t.slope(), floor) for _ in range(reps)]
+        return sorted(ts)[reps // 2], ts
 
     # ---------------- headline sweep: flagship kernel vs jnp.fft ----------
     raw_times = {}
@@ -148,24 +175,18 @@ def main(full: bool = False) -> None:
         # The tunnel's jitter band shifts by the HOUR (jnp at n=64 measured
         # 43us in one run and 120us in the next; ours 37us and 68us), so
         # sequential blocks of reps for each side can land in different
-        # windows and bias the ratio either way — the r1 "best-of-two
-        # baseline" even collapsed below the physical floor once. Each rep
-        # now measures OURS then JNP back-to-back (~seconds apart, far
-        # inside the drift scale); the reported speedup is the MEDIAN OF
-        # PAIRED RATIOS, which cancels common-mode drift. Round-3 clamp
-        # policy (ADVICE r2): only OUR side is clamped up to the duplex-HBM
-        # floor — a sub-floor baseline is a real VMEM-resident-carry effect,
-        # and clamping it UP could only inflate our speedups.
+        # windows and bias the ratio either way. Each rep measures OURS
+        # then JNP back-to-back (~seconds apart, far inside the drift
+        # scale); the reported speedup is the MEDIAN OF PAIRED RATIOS.
         ours_name = "stockham-pallas"
         try:
             def pstep(c):
                 a, bb = c
                 a, bb = stockham_fft_nb(a, bb, inverse=False)
                 return stockham_fft_nb(a, bb, inverse=True)
-            reps = 9 if n <= 64 else (5 if n <= 512 else 3)
-            t_ours, t_base, speedup = _paired(
-                time_chain, pstep, (xre_t, xim_t), jstep, (xre, xim),
-                reps=reps, floor_ours=_roundtrip_floor(xre_t.size))
+            t_ours, t_base, speedup, st = paired_chain(
+                pstep, (xre_t, xim_t), jstep, (xre, xim),
+                reps=3, floor_ours=_roundtrip_floor(xre_t.size))
         except Exception as e:
             print(f"  n={n}: pallas failed ({str(e)[:80]}), using fourstep",
                   file=sys.stderr)
@@ -176,31 +197,43 @@ def main(full: bool = False) -> None:
                 a, bb = c
                 a, bb = ctx.forward_planes_fourstep(a, bb)
                 return ctx.inverse_planes_fourstep(a, bb)
-            t_ours = time_chain(fstep, (xre, xim))
-            t_base = time_chain(jstep, (xre, xim))
+            t_ours, ots = _solo(fstep, (xre, xim))
+            t_base, bts = _solo(jstep, (xre, xim))
             speedup = t_base / t_ours
+            st = {"ours_times": ots, "base_times": bts}
 
         raw_times[n] = t_ours
         speedups.append(speedup)
         # ops/s counts single transforms: one roundtrip = 2 transforms;
         # traffic model: complex roundtrip = 4 duplex plane-passes
         nbytes = 16 * n * b
-        record(f"watfft/{ours_name}/f32/n{n}", t_ours, b, nbytes=nbytes)
-        record(f"jnp.fft/f32/n{n}", t_base, b, nbytes=nbytes)
+        record(f"watfft/{ours_name}/f32/n{n}", t_ours, b, nbytes=nbytes,
+               times=st["ours_times"])
+        record(f"jnp.fft/f32/n{n}", t_base, b, nbytes=nbytes,
+               times=st["base_times"])
         print(f"  n={n:<6} ours({ours_name})={2*b/t_ours:,.0f}/s  "
               f"jnp={2*b/t_base:,.0f}/s  x{speedups[-1]:.2f}", file=sys.stderr)
 
     geomean = math.exp(sum(map(math.log, speedups)) / len(speedups))
 
+    # THE driver-parsed metric prints NOW — before any other section — so a
+    # timeout anywhere below still leaves the round measured (VERDICT r3 #1).
+    print(json.dumps({
+        "metric": "batched f32 complex FFT geomean speedup vs jnp.fft (N=16-4096)",
+        "value": round(geomean, 4),
+        "unit": "x",
+        "vs_baseline": round(geomean / 2.0, 4),
+    }))
+    sys.stdout.flush()
+
     # ---------------- extended kernel sizes (beyond the BASELINE sweep) ---
     # The former 8192-32768 "crossover valley" (VERDICT r2 Missing #2):
     # each size runs through whatever the PLANNER dispatches (so the bench
-    # tracks dispatch retunes automatically) with paired-interleaved reps
-    # like the headline sweep. Not in the geomean so the headline stays
-    # comparable to BASELINE.json's N=16-4096 definition.
+    # tracks dispatch retunes automatically). --full only: the planner's
+    # crossovers are re-validated when they change, not per driver run.
     from watfft_tpu import planner
     from watfft_tpu.ops.large import fft_large_nb
-    for n in (8192, 16384, 32768):
+    for n in ((8192, 16384, 32768) if full else ()):
         try:
             b = max(128, TOTAL_ELEMS // n)
             xre_t = jnp.asarray(rng.uniform(-1, 1, (n, b)).astype(np.float32))
@@ -225,12 +258,14 @@ def main(full: bool = False) -> None:
                 a, bb = c
                 z = jnp.fft.ifft(jnp.fft.fft(a + 1j * bb))
                 return z.real, z.imag
-            t_x, t_jx, ratio = _paired(
-                time_chain, pstep, (xre_t, xim_t), jstep2, (xre, xim),
+            t_x, t_jx, ratio, st = paired_chain(
+                pstep, (xre_t, xim_t), jstep2, (xre, xim),
                 reps=3, floor_ours=_roundtrip_floor(xre_t.size))
             nbytes = 16 * n * b
-            record(f"watfft/{surf}/f32/n{n}", t_x, b, nbytes=nbytes)
-            record(f"jnp.fft/f32/n{n}", t_jx, b, nbytes=nbytes)
+            record(f"watfft/{surf}/f32/n{n}", t_x, b, nbytes=nbytes,
+                   times=st["ours_times"])
+            record(f"jnp.fft/f32/n{n}", t_jx, b, nbytes=nbytes,
+                   times=st["base_times"])
             print(f"  [ext] n={n:<6} ours({surf})={2*b/t_x:,.0f}/s "
                   f"jnp={2*b/t_jx:,.0f}/s x{ratio:.2f}",
                   file=sys.stderr)
@@ -243,8 +278,10 @@ def main(full: bool = False) -> None:
     # and claims forward/inverse parity for the native inverse
     # (README.md:53). [cinv]: one chain step = ONE inverse transform (the
     # carry stays spectrum planes). inv/fwd reports the parity ratio.
-    try:
-        for n in (1024, 4096):
+    for n in ((1024, 4096) if full else (4096,)):
+        if over_budget(f"cinv-{n}"):
+            break
+        try:
             b = max(128, TOTAL_ELEMS // n)
             hr = rng.uniform(-1, 1, (n, b)).astype(np.float32)
             hi = rng.uniform(-1, 1, (n, b)).astype(np.float32)
@@ -269,53 +306,48 @@ def main(full: bool = False) -> None:
                 z = jnp.fft.ifft(a + 1j * bb)
                 return z.real, z.imag
             floor1 = _roundtrip_floor(xre_t.size) / 2  # single direction
-            ratios, t_is, t_fs, t_jis = [], [], [], []
-            for _ in range(3):
-                t_i = max(time_chain(istep, (xre_t, xim_t)), floor1)
-                t_ji = time_chain(jistep, (xre, xim))
-                t_f = max(time_chain(fstep_only, (xre_t, xim_t)), floor1)
-                ratios.append(t_ji / t_i)
-                t_is.append(t_i)
-                t_fs.append(t_f)
-                t_jis.append(t_ji)
-            t_i = sorted(t_is)[1]
-            t_f = sorted(t_fs)[1]
-            t_ji = sorted(t_jis)[1]
+            t_i, t_ji, ratio, st = paired_chain(
+                istep, (xre_t, xim_t), jistep, (xre, xim),
+                reps=3, floor_ours=floor1)
+            t_f, _ = _solo(fstep_only, (xre_t, xim_t), floor=floor1)
             nbytes = 8 * n * b  # one direction = 2 duplex plane-passes
             record(f"watfft/stockham-pallas/f32-inv/n{n}", t_i, b, items=1,
-                   nbytes=nbytes)
-            record(f"jnp.fft/f32-inv/n{n}", t_ji, b, items=1, nbytes=nbytes)
+                   nbytes=nbytes, times=st["ours_times"])
+            record(f"jnp.fft/f32-inv/n{n}", t_ji, b, items=1, nbytes=nbytes,
+                   times=st["base_times"])
             print(f"  [cinv] n={n:<6} ours={b/t_i:,.0f}/s jnp={b/t_ji:,.0f}/s "
-                  f"x{sorted(ratios)[1]:.2f}  inv/fwd={t_i/t_f:.2f}",
-                  file=sys.stderr)
-    except Exception as e:
-        print(f"  cinv bench failed: {str(e)[:120]}", file=sys.stderr)
+                  f"x{ratio:.2f}  inv/fwd={t_i/t_f:.2f}", file=sys.stderr)
+        except Exception as e:
+            print(f"  cinv bench failed: {str(e)[:120]}", file=sys.stderr)
 
     # ---------------- public API dispatch point (planner) -----------------
     # VERDICT r1 #3 evidence: the public context API (batch-major planes)
-    # must land within ~1.2x of the raw time-major kernel.
+    # must land within ~1.1x of the raw time-major kernel (round-4: the
+    # batch-major wrapper folds its transposes into the native 3D layout).
     t_d = 0.0
-    try:
-        for n in (64, 1024, 4096):
-            b = max(128, TOTAL_ELEMS // n)
-            ctx = FFTContext(n, "float32")
-            xre = jnp.asarray(rng.uniform(-1, 1, (b, n)).astype(np.float32))
-            xim = jnp.asarray(rng.uniform(-1, 1, (b, n)).astype(np.float32))
+    if not over_budget("dispatch"):
+        try:
+            for n in (64, 1024, 4096):
+                b = max(128, TOTAL_ELEMS // n)
+                ctx = FFTContext(n, "float32")
+                xre = jnp.asarray(rng.uniform(-1, 1, (b, n)).astype(np.float32))
+                xim = jnp.asarray(rng.uniform(-1, 1, (b, n)).astype(np.float32))
 
-            def dstep(c, ctx=ctx):
-                a, bb = c
-                a, bb = ctx.forward_planes(a, bb)
-                return ctx.inverse_planes(a, bb)
-            t_dn = sorted(time_chain(dstep, (xre, xim)) for _ in range(3))[1]
-            t_dn = max(t_dn, _roundtrip_floor(xre.size))
-            rel = t_dn / raw_times[n]
-            record(f"watfft/dispatch/f32/n{n}", t_dn, b, nbytes=16 * n * b)
-            print(f"  [dispatch] n={n} b={b}: {2*b/t_dn:,.0f}/s "
-                  f"({rel:.2f}x raw kernel time)", file=sys.stderr)
-            if n == 1024:
-                t_d = t_dn
-    except Exception as e:
-        print(f"  dispatch bench failed: {str(e)[:120]}", file=sys.stderr)
+                def dstep(c, ctx=ctx):
+                    a, bb = c
+                    a, bb = ctx.forward_planes(a, bb)
+                    return ctx.inverse_planes(a, bb)
+                t_dn, ts = _solo(dstep, (xre, xim),
+                                 floor=_roundtrip_floor(xre.size))
+                rel = t_dn / raw_times[n]
+                record(f"watfft/dispatch/f32/n{n}", t_dn, b,
+                       nbytes=16 * n * b, times=ts)
+                print(f"  [dispatch] n={n} b={b}: {2*b/t_dn:,.0f}/s "
+                      f"({rel:.2f}x raw kernel time)", file=sys.stderr)
+                if n == 1024:
+                    t_d = t_dn
+        except Exception as e:
+            print(f"  dispatch bench failed: {str(e)[:120]}", file=sys.stderr)
 
     # ---------------- convenience-path tax (VERDICT r2 Weak #5) -----------
     # fftlib.fft / ctx.forward take complex dtypes, which the axon tunnel
@@ -324,58 +356,66 @@ def main(full: bool = False) -> None:
     # wall-clock per call (run_benchmark, includes the ~28 ms tunnel RPC
     # where present) vs the plane dispatch point's chained per-call time, so
     # users see exactly what the split-plane API buys.
-    try:
-        from watfft_tpu import fftlib
-        n, b = 1024, 2048
-        zc = (rng.uniform(-1, 1, (b, n)) +
-              1j * rng.uniform(-1, 1, (b, n))).astype(np.complex64)
-        conv = run_benchmark("watfft/convenience-fftlib/c64/n1024",
-                             lambda: fftlib.fft(zc), items_per_call=b,
-                             num_samples=5)
-        results.append(conv)
-        t_conv = conv.items_per_call / conv.ops_per_sec / b
-        tax = t_conv / (t_d / 2) if t_d else float("nan")
-        print(f"  [convenience] n={n} b={b}: fftlib.fft {conv.ops_per_sec:,.0f}/s "
-              f"({tax:,.0f}x the chained plane-dispatch per-call time — the "
-              f"host-round-trip tax)", file=sys.stderr)
-    except Exception as e:
-        print(f"  convenience bench failed: {str(e)[:120]}", file=sys.stderr)
+    if not over_budget("convenience"):
+        try:
+            from watfft_tpu import fftlib
+            n, b = 1024, 2048
+            zc = (rng.uniform(-1, 1, (b, n)) +
+                  1j * rng.uniform(-1, 1, (b, n))).astype(np.complex64)
+            conv = run_benchmark("watfft/convenience-fftlib/c64/n1024",
+                                 lambda: fftlib.fft(zc), items_per_call=b,
+                                 num_samples=5)
+            results.append(conv)
+            t_conv = conv.items_per_call / conv.ops_per_sec / b
+            tax = t_conv / (t_d / 2) if t_d else float("nan")
+            print(f"  [convenience] n={n} b={b}: fftlib.fft "
+                  f"{conv.ops_per_sec:,.0f}/s "
+                  f"({tax:,.0f}x the chained plane-dispatch per-call time — "
+                  f"the host-round-trip tax)", file=sys.stderr)
+        except Exception as e:
+            print(f"  convenience bench failed: {str(e)[:120]}",
+                  file=sys.stderr)
 
     # ---------------- bf16 interop tier -----------------------------------
-    try:
-        for n in (64, 1024):
-            b = max(128, TOTAL_ELEMS // n)
-            xre_h = jnp.asarray(rng.uniform(-1, 1, (n, b)).astype(np.float32),
-                                jnp.bfloat16)
-            xim_h = jnp.asarray(rng.uniform(-1, 1, (n, b)).astype(np.float32),
-                                jnp.bfloat16)
+    # Documented as the INTEROP tier (PARITY.md): it exists so bf16 pipelines
+    # can stay bf16 end-to-end, not to beat the f32 tier (it never has —
+    # the snapshot's rel column is the honest record, VERDICT r3 Weak #4).
+    if not over_budget("bf16"):
+        try:
+            for n in (64, 1024):
+                b = max(128, TOTAL_ELEMS // n)
+                xre_h = jnp.asarray(
+                    rng.uniform(-1, 1, (n, b)).astype(np.float32),
+                    jnp.bfloat16)
+                xim_h = jnp.asarray(
+                    rng.uniform(-1, 1, (n, b)).astype(np.float32),
+                    jnp.bfloat16)
 
-            def bstep(c):
-                a, bb = c
-                a, bb = stockham_fft_nb(a, bb, inverse=False)
-                return stockham_fft_nb(a, bb, inverse=True)
-            t_b16 = sorted(time_chain(bstep, (xre_h, xim_h))
-                           for _ in range(5))[2]
-            t_b16 = max(t_b16, _roundtrip_floor(xre_h.size) / 2)  # 2-byte planes
-            record(f"watfft/stockham-bf16/bf16/n{n}", t_b16, b)
-            rel = raw_times.get(n)
-            extra = f" ({rel / t_b16:.2f}x the f32 tier)" if rel else ""
-            print(f"  [bf16] n={n}: {2*b/t_b16:,.0f}/s{extra}", file=sys.stderr)
-            # bf16 COMPUTE tier (Exp 42): butterflies stay bf16 in-kernel
-            from watfft_tpu import config as _bcfg
-            _bcfg.BF16_COMPUTE = True
-            try:
-                t_bc = sorted(time_chain(bstep, (xre_h, xim_h))
-                              for _ in range(5))[2]
-            finally:
-                _bcfg.BF16_COMPUTE = False
-            t_bc = max(t_bc, _roundtrip_floor(xre_h.size) / 2)
-            record(f"watfft/stockham-bf16/bf16-compute/n{n}", t_bc, b)
-            extrac = f" ({rel / t_bc:.2f}x the f32 tier)" if rel else ""
-            print(f"  [bf16-comp] n={n}: {2*b/t_bc:,.0f}/s{extrac}",
-                  file=sys.stderr)
-    except Exception as e:
-        print(f"  bf16 bench failed: {str(e)[:120]}", file=sys.stderr)
+                def bstep(c):
+                    a, bb = c
+                    a, bb = stockham_fft_nb(a, bb, inverse=False)
+                    return stockham_fft_nb(a, bb, inverse=True)
+                floor_b = _roundtrip_floor(xre_h.size) / 2  # 2-byte planes
+                t_b16, ts = _solo(bstep, (xre_h, xim_h), floor=floor_b)
+                record(f"watfft/stockham-bf16/bf16/n{n}", t_b16, b, times=ts)
+                rel = raw_times.get(n)
+                extra = f" ({rel / t_b16:.2f}x the f32 tier)" if rel else ""
+                print(f"  [bf16] n={n}: {2*b/t_b16:,.0f}/s{extra}",
+                      file=sys.stderr)
+                # bf16 COMPUTE tier (Exp 42): butterflies stay bf16 in-kernel
+                from watfft_tpu import config as _bcfg
+                _bcfg.BF16_COMPUTE = True
+                try:
+                    t_bc, tcs = _solo(bstep, (xre_h, xim_h), floor=floor_b)
+                finally:
+                    _bcfg.BF16_COMPUTE = False
+                record(f"watfft/stockham-bf16/bf16-compute/n{n}", t_bc, b,
+                       times=tcs)
+                extrac = f" ({rel / t_bc:.2f}x the f32 tier)" if rel else ""
+                print(f"  [bf16-comp] n={n}: {2*b/t_bc:,.0f}/s{extrac}",
+                      file=sys.stderr)
+        except Exception as e:
+            print(f"  bf16 bench failed: {str(e)[:120]}", file=sys.stderr)
 
     # ---------------- MXU speed tier (VERDICT r2 Weak #3) -----------------
     # WATFFT_MXU_PRECISION=default drops the fourstep's matmuls to
@@ -383,56 +423,63 @@ def main(full: bool = False) -> None:
     # tier for ML workloads. Measured against the HIGHEST-precision fourstep
     # on the same shapes so the claimed speed/accuracy trade carries a
     # number.
-    try:
-        from watfft_tpu import config as _cfg
-        n, b = 1024, TOTAL_ELEMS // 1024
-        xre = jnp.asarray(rng.uniform(-1, 1, (b, n)).astype(np.float32))
-        xim = jnp.asarray(rng.uniform(-1, 1, (b, n)).astype(np.float32))
-        times = {}
-        for prec in ("highest", "default"):
-            _cfg.MXU_PRECISION = prec
-            ctx_p = FFTContext(n, "float32")
+    if not over_budget("speed-tier"):
+        try:
+            from watfft_tpu import config as _cfg
+            n, b = 1024, TOTAL_ELEMS // 1024
+            xre = jnp.asarray(rng.uniform(-1, 1, (b, n)).astype(np.float32))
+            xim = jnp.asarray(rng.uniform(-1, 1, (b, n)).astype(np.float32))
+            times = {}
+            tss = {}
+            for prec in ("highest", "default"):
+                _cfg.MXU_PRECISION = prec
+                ctx_p = FFTContext(n, "float32")
 
-            def fpstep(c, ctx_p=ctx_p):
-                a, bb = c
-                a, bb = ctx_p.forward_planes_fourstep(a, bb)
-                return ctx_p.inverse_planes_fourstep(a, bb)
-            times[prec] = sorted(time_chain(fpstep, (xre, xim))
-                                 for _ in range(3))[1]
-        _cfg.MXU_PRECISION = "highest"
-        t_fast, t_hi = times["default"], times["highest"]
-        record(f"watfft/fourstep-mxu/bf16-fast/n{n}", t_fast, b)
-        print(f"  [speed-tier] n={n} fourstep default={2*b/t_fast:,.0f}/s "
-              f"highest={2*b/t_hi:,.0f}/s ({t_hi/t_fast:.2f}x faster at "
-              f"~1e-3 rel err)", file=sys.stderr)
-    except Exception as e:
-        from watfft_tpu import config as _cfg
-        _cfg.MXU_PRECISION = "highest"
-        print(f"  speed-tier bench failed: {str(e)[:120]}", file=sys.stderr)
+                def fpstep(c, ctx_p=ctx_p):
+                    a, bb = c
+                    a, bb = ctx_p.forward_planes_fourstep(a, bb)
+                    return ctx_p.inverse_planes_fourstep(a, bb)
+                times[prec], tss[prec] = _solo(fpstep, (xre, xim))
+            _cfg.MXU_PRECISION = "highest"
+            t_fast, t_hi = times["default"], times["highest"]
+            record(f"watfft/fourstep-mxu/bf16-fast/n{n}", t_fast, b,
+                   times=tss["default"])
+            print(f"  [speed-tier] n={n} fourstep default={2*b/t_fast:,.0f}/s "
+                  f"highest={2*b/t_hi:,.0f}/s ({t_hi/t_fast:.2f}x faster at "
+                  f"~1e-3 rel err)", file=sys.stderr)
+        except Exception as e:
+            from watfft_tpu import config as _cfg
+            _cfg.MXU_PRECISION = "highest"
+            print(f"  speed-tier bench failed: {str(e)[:120]}",
+                  file=sys.stderr)
 
     # ---------------- small-N MXU alternative -----------------------------
-    try:
-        from watfft_tpu.ops.mxu_dft import dft_matmul_nb
-        n, b = 64, TOTAL_ELEMS // 64
-        xre = jnp.asarray(rng.uniform(-1, 1, (n, b)).astype(np.float32))
-        xim = jnp.asarray(rng.uniform(-1, 1, (n, b)).astype(np.float32))
+    # Kept registered + benched as the honest negative record: it loses to
+    # the Stockham kernel at every measured size (Exp 43 logs the dead end;
+    # the planner never dispatches it).
+    if not over_budget("mxu-dft"):
+        try:
+            from watfft_tpu.ops.mxu_dft import dft_matmul_nb
+            n, b = 64, TOTAL_ELEMS // 64
+            xre = jnp.asarray(rng.uniform(-1, 1, (n, b)).astype(np.float32))
+            xim = jnp.asarray(rng.uniform(-1, 1, (n, b)).astype(np.float32))
 
-        def mstep(c):
-            a, bb = c
-            a, bb = dft_matmul_nb(a, bb, inverse=False)
-            return dft_matmul_nb(a, bb, inverse=True)
-        t_m = sorted(time_chain(mstep, (xre, xim)) for _ in range(3))[1]
-        record(f"watfft/mxu-dft/f32/n{n}", t_m, b)
-        print(f"  [mxu-dft] n={n}: {2*b/t_m:,.0f}/s "
-              f"(vs stockham {2*b/raw_times[n]:,.0f}/s)", file=sys.stderr)
-    except Exception as e:
-        print(f"  mxu-dft bench failed: {str(e)[:120]}", file=sys.stderr)
+            def mstep(c):
+                a, bb = c
+                a, bb = dft_matmul_nb(a, bb, inverse=False)
+                return dft_matmul_nb(a, bb, inverse=True)
+            t_m, ts = _solo(mstep, (xre, xim))
+            record(f"watfft/mxu-dft/f32/n{n}", t_m, b, times=ts)
+            print(f"  [mxu-dft] n={n}: {2*b/t_m:,.0f}/s "
+                  f"(vs stockham {2*b/raw_times[n]:,.0f}/s)", file=sys.stderr)
+        except Exception as e:
+            print(f"  mxu-dft bench failed: {str(e)[:120]}", file=sys.stderr)
 
     # ---------------- real path (rfft/irfft roundtrip) --------------------
     # Planner-dispatched kernels (per-size, PER-DIRECTION codelet table,
-    # Exp 32/35): fused forward at RFFT_FUSED_FWD_SIZES (64/4096 in this
-    # sweep), hybrid elsewhere and for the inverse. Rows are recorded under
-    # the FORWARD direction's registry surface name.
+    # Exp 32/35): fused forward at RFFT_FUSED_FWD_SIZES, hybrid elsewhere
+    # and for the inverse. Rows are recorded under the FORWARD direction's
+    # registry surface name.
     from watfft_tpu import planner as _planner
     from watfft_tpu.ops.pallas_rfft import (rfft_nb, irfft_nb, rfft_nb_fused,
                                             irfft_nb_fused)
@@ -448,6 +495,8 @@ def main(full: bool = False) -> None:
     from watfft_tpu import config as _rcfg
     real_speedups = []
     for n in SIZES:
+        if over_budget(f"real-{n}"):
+            break
         try:
             b = max(128, TOTAL_ELEMS // n)
             host = rng.uniform(-1, 1, (n, b)).astype(np.float32)
@@ -470,21 +519,21 @@ def main(full: bool = False) -> None:
             def jrstep(c):
                 return jnp.fft.irfft(jnp.fft.rfft(c), n=n)
             # real roundtrip moves ~half the complex traffic (one real plane
-            # in, ~two half-length spectrum planes out, per direction);
-            # n=256 gets extra reps — it measured the widest cross-run swing
-            # (Exp 33: 1.9-3.4x)
-            t_r, t_jr, ratio = _paired(
-                time_chain, rstep, xr_t, jrstep, xr,
-                reps=5 if n <= 256 else 3,
+            # in, ~two half-length spectrum planes out, per direction)
+            t_r, t_jr, ratio, st = paired_chain(
+                rstep, xr_t, jrstep, xr, reps=3,
                 floor_ours=_roundtrip_floor(xr_t.size) / 2)
             nbytes = 8 * n * b  # ~2 duplex passes/direction (matches floor)
-            record(f"watfft/{sname}/f32/n{n}", t_r, b, nbytes=nbytes)
-            record(f"jnp.fft/real/f32/n{n}", t_jr, b, nbytes=nbytes)
+            record(f"watfft/{sname}/f32/n{n}", t_r, b, nbytes=nbytes,
+                   times=st["ours_times"])
+            record(f"jnp.fft/real/f32/n{n}", t_jr, b, nbytes=nbytes,
+                   times=st["base_times"])
             real_speedups.append(ratio)
             print(f"  [real] n={n:<6} ours={2*b/t_r:,.0f}/s "
                   f"jnp={2*b/t_jr:,.0f}/s x{ratio:.2f}", file=sys.stderr)
         except Exception as e:
-            print(f"  real n={n} bench failed: {str(e)[:120]}", file=sys.stderr)
+            print(f"  real n={n} bench failed: {str(e)[:120]}",
+                  file=sys.stderr)
     if real_speedups:
         rg = math.exp(sum(map(math.log, real_speedups)) / len(real_speedups))
         print(f"  [real] geomean over {len(real_speedups)} sizes: x{rg:.2f}",
@@ -498,8 +547,10 @@ def main(full: bool = False) -> None:
     # y[0,0] consumer lets XLA dead-code-slice the hybrid kernels' XLA
     # pre/post passes to one element and fakes the comparison (Exp 35's
     # pruning trap). Both sides use the identical fold, so the ratio is fair.
-    try:
-        for n in (1024, 4096):
+    for n in ((1024, 4096) if full else (4096,)):
+        if over_budget(f"rinv-{n}"):
+            break
+        try:
             b = max(128, TOTAL_ELEMS // n)
             m = n // 2
             use3d_r = n <= 2 * _rcfg.DMA3D_MAX_N and b % 1024 == 0
@@ -527,251 +578,284 @@ def main(full: bool = False) -> None:
                 upd = jnp.concatenate([yre, yim[1:]], axis=0)[:n]
                 return c + upd * jnp.float32(1e-30)
 
-            sre = jnp.asarray(rng.uniform(-1, 1, (b, m + 1)).astype(np.float32))
-            sim = jnp.asarray(rng.uniform(-1, 1, (b, m + 1)).astype(np.float32))
+            sre = jnp.asarray(
+                rng.uniform(-1, 1, (b, m + 1)).astype(np.float32))
+            sim = jnp.asarray(
+                rng.uniform(-1, 1, (b, m + 1)).astype(np.float32))
 
             def jristep(c):
                 re, im = c
                 y = jnp.fft.irfft(re + 1j * im, n=n)
                 upd = (y[:, :m + 1] + y[:, m - 1:]) * jnp.float32(1e-30)
                 return re + upd, im
-            # single real direction ~ quarter of the complex-roundtrip traffic
+            # single real direction ~ quarter of complex-roundtrip traffic
             floor_r = _roundtrip_floor(n * b) / 4
-            ratios, t_ris, t_rfs, t_jris = [], [], [], []
-            for _ in range(3):
-                t_ri = max(time_chain(ristep, (sre_t, sim_t)), floor_r)
-                t_jri = time_chain(jristep, (sre, sim))
-                t_rf_ = max(time_chain(rfstep, xr_t), floor_r)
-                ratios.append(t_jri / t_ri)
-                t_ris.append(t_ri)
-                t_rfs.append(t_rf_)
-                t_jris.append(t_jri)
-            t_ri = sorted(t_ris)[1]
-            t_rf_ = sorted(t_rfs)[1]
-            t_jri = sorted(t_jris)[1]
+            t_ri, t_jri, ratio, st = paired_chain(
+                ristep, (sre_t, sim_t), jristep, (sre, sim),
+                reps=3, floor_ours=floor_r)
+            t_rf_, _ = _solo(rfstep, xr_t, floor=floor_r)
             nbytes = 4 * n * b
             record(f"watfft/{sname}/f32-inv/n{n}", t_ri, b, items=1,
-                   nbytes=nbytes)
+                   nbytes=nbytes, times=st["ours_times"])
             record(f"jnp.fft/real-inv/f32/n{n}", t_jri, b, items=1,
-                   nbytes=nbytes)
-            print(f"  [rinv] n={n:<6} ours={b/t_ri:,.0f}/s jnp={b/t_jri:,.0f}/s "
-                  f"x{sorted(ratios)[1]:.2f}  inv/fwd={t_ri/t_rf_:.2f}",
-                  file=sys.stderr)
-    except Exception as e:
-        print(f"  rinv bench failed: {str(e)[:120]}", file=sys.stderr)
+                   nbytes=nbytes, times=st["base_times"])
+            print(f"  [rinv] n={n:<6} ours={b/t_ri:,.0f}/s "
+                  f"jnp={b/t_jri:,.0f}/s x{ratio:.2f}  "
+                  f"inv/fwd={t_ri/t_rf_:.2f}", file=sys.stderr)
+        except Exception as e:
+            print(f"  rinv bench failed: {str(e)[:120]}", file=sys.stderr)
 
     # ---------------- fully-fused real variant (alternate surface) --------
-    try:
-        from watfft_tpu.ops.pallas_rfft import rfft_nb_fused, irfft_nb_fused
-        n, b = 1024, TOTAL_ELEMS // 1024
-        xr_t = jnp.asarray(rng.uniform(-1, 1, (n, b)).astype(np.float32))
+    if not over_budget("real-fused"):
+        try:
+            n, b = 1024, TOTAL_ELEMS // 1024
+            xr_t = jnp.asarray(rng.uniform(-1, 1, (n, b)).astype(np.float32))
 
-        def rfstep(c):
-            re, im = rfft_nb_fused(c)
-            return irfft_nb_fused(re, im)
-        t_rf = sorted(time_chain(rfstep, xr_t) for _ in range(3))[1]
-        record(f"watfft/rfft-pallas-fused/f32/n{n}", t_rf, b)
-        print(f"  [real-fused] n={n}: {2*b/t_rf:,.0f}/s", file=sys.stderr)
-    except Exception as e:
-        print(f"  real-fused bench failed: {str(e)[:120]}", file=sys.stderr)
-
-    # ---------------- f64 tier (double-f32 kernels) -----------------------
-    try:
-        from watfft_tpu.ops.doublefloat import (df_fft_nb, df_rfft_nb,
-                                                df_irfft_nb, split_f64)
-        for n in (64, 1024, 4096):  # span the reference's f64 table range
-            b = 256
-            x = rng.uniform(-1, 1, (n, b))
-            y = rng.uniform(-1, 1, (n, b))
-            rh, rl = split_f64(x)
-            ih, il = split_f64(y)
-            args = tuple(jnp.asarray(a) for a in (rh, rl, ih, il))
-
-            def dfstep(c):
-                a, bb, cc, d = df_fft_nb(*c, inverse=False)
-                return df_fft_nb(a, bb, cc, d, inverse=True)
-            t_df = sorted(time_chain(dfstep, args) for _ in range(3))[1]
-            record(f"watfft/doublefloat-pallas/f64/n{n}", t_df, b)
-            print(f"  [df-complex] n={n} b={b}: {2*b/t_df:,.0f}/s",
+            def rfstep(c):
+                re, im = rfft_nb_fused(c)
+                return irfft_nb_fused(re, im)
+            t_rf, ts = _solo(rfstep, xr_t)
+            record(f"watfft/rfft-pallas-fused/f32/n{n}", t_rf, b, times=ts)
+            print(f"  [real-fused] n={n}: {2*b/t_rf:,.0f}/s", file=sys.stderr)
+        except Exception as e:
+            print(f"  real-fused bench failed: {str(e)[:120]}",
                   file=sys.stderr)
 
-        n, b = 1024, 256
-        xh, xl = split_f64(rng.uniform(-1, 1, (n, b)))
-        rargs = (jnp.asarray(xh), jnp.asarray(xl))
+    # ---------------- f64 tier (double-f32 kernels) -----------------------
+    if not over_budget("f64"):
+        try:
+            from watfft_tpu.ops.doublefloat import (df_fft_nb, df_rfft_nb,
+                                                    df_irfft_nb, split_f64)
+            # default: the reference's flagship f64 table point; --full
+            # spans its whole range
+            for n in ((64, 1024, 4096) if full else (1024,)):
+                b = 256
+                x = rng.uniform(-1, 1, (n, b))
+                y = rng.uniform(-1, 1, (n, b))
+                rh, rl = split_f64(x)
+                ih, il = split_f64(y)
+                args = tuple(jnp.asarray(a) for a in (rh, rl, ih, il))
 
-        def dfrstep(c):
-            orh, orl, oih, oil = df_rfft_nb(c[0], c[1])
-            oh, ol = df_irfft_nb(orh, orl, oih, oil)
-            return oh, ol
-        t_dfr = sorted(time_chain(dfrstep, rargs) for _ in range(3))[1]
-        record(f"watfft/doublefloat-rfft/f64/n{n}", t_dfr, b)
-        print(f"  [df-real] n={n} b={b}: {2*b/t_dfr:,.0f}/s", file=sys.stderr)
-    except Exception as e:
-        print(f"  doublefloat bench failed: {str(e)[:120]}", file=sys.stderr)
+                def dfstep(c):
+                    a, bb, cc, d = df_fft_nb(*c, inverse=False)
+                    return df_fft_nb(a, bb, cc, d, inverse=True)
+                t_df, ts = _solo(dfstep, args)
+                record(f"watfft/doublefloat-pallas/f64/n{n}", t_df, b,
+                       times=ts)
+                print(f"  [df-complex] n={n} b={b}: {2*b/t_df:,.0f}/s",
+                      file=sys.stderr)
+
+            n, b = 1024, 256
+            xh, xl = split_f64(rng.uniform(-1, 1, (n, b)))
+            rargs = (jnp.asarray(xh), jnp.asarray(xl))
+
+            def dfrstep(c):
+                orh, orl, oih, oil = df_rfft_nb(c[0], c[1])
+                oh, ol = df_irfft_nb(orh, orl, oih, oil)
+                return oh, ol
+            t_dfr, ts = _solo(dfrstep, rargs)
+            record(f"watfft/doublefloat-rfft/f64/n{n}", t_dfr, b, times=ts)
+            print(f"  [df-real] n={n} b={b}: {2*b/t_dfr:,.0f}/s",
+                  file=sys.stderr)
+        except Exception as e:
+            print(f"  doublefloat bench failed: {str(e)[:120]}",
+                  file=sys.stderr)
 
     # ---------------- n > 16384 dispatch domain: batched four-step --------
     # the planner sends n > STOCKHAM_MAX_N here (round-2 Exp 22: the XLA
     # einsum path lost at 0.75x; large-nb wins 1.18x at 32768, 2.59x at 2^17)
-    try:
-        from watfft_tpu.ops.large import fft_large_nb
-        for n, b in ((32768, 128), (1 << 17, 128)):  # b=128: fused stage-2 path (Exp 27)
-            xre_t = jnp.asarray(rng.uniform(-1, 1, (n, b)).astype(np.float32))
-            xim_t = jnp.asarray(rng.uniform(-1, 1, (n, b)).astype(np.float32))
+    if not over_budget("large-nb"):
+        try:
+            # b=128: fused stage-2 path (Exp 27)
+            for n, b in (((32768, 128), (1 << 17, 128)) if full
+                         else ((1 << 17, 128),)):
+                xre_t = jnp.asarray(
+                    rng.uniform(-1, 1, (n, b)).astype(np.float32))
+                xim_t = jnp.asarray(
+                    rng.uniform(-1, 1, (n, b)).astype(np.float32))
 
-            def lnstep(c):
-                a, bb = c
-                a, bb = fft_large_nb(a, bb, inverse=False)
-                return fft_large_nb(a, bb, inverse=True)
-            xre = jnp.asarray(rng.uniform(-1, 1, (b, n)).astype(np.float32))
-            xim = jnp.asarray(rng.uniform(-1, 1, (b, n)).astype(np.float32))
+                def lnstep(c):
+                    a, bb = c
+                    a, bb = fft_large_nb(a, bb, inverse=False)
+                    return fft_large_nb(a, bb, inverse=True)
+                xre = jnp.asarray(
+                    rng.uniform(-1, 1, (b, n)).astype(np.float32))
+                xim = jnp.asarray(
+                    rng.uniform(-1, 1, (b, n)).astype(np.float32))
 
-            def jstep8(c):
-                a, bb = c
-                z = jnp.fft.ifft(jnp.fft.fft(a + 1j * bb))
-                return z.real, z.imag
-            t_ln, t_j8, ratio = _paired(
-                time_chain, lnstep, (xre_t, xim_t), jstep8, (xre, xim),
-                reps=3, floor_ours=_roundtrip_floor(xre_t.size))
-            nbytes = 16 * n * b
-            record(f"watfft/large-nb/f32/n{n}", t_ln, b, nbytes=nbytes)
-            record(f"jnp.fft/f32/n{n}", t_j8, b, nbytes=nbytes)
-            print(f"  [large-nb] n={n} b={b}: ours={2*b/t_ln:,.0f}/s "
-                  f"jnp={2*b/t_j8:,.0f}/s x{ratio:.2f}", file=sys.stderr)
-    except Exception as e:
-        print(f"  large-nb bench failed: {str(e)[:120]}", file=sys.stderr)
+                def jstep8(c):
+                    a, bb = c
+                    z = jnp.fft.ifft(jnp.fft.fft(a + 1j * bb))
+                    return z.real, z.imag
+                t_ln, t_j8, ratio, st = paired_chain(
+                    lnstep, (xre_t, xim_t), jstep8, (xre, xim),
+                    reps=3, floor_ours=_roundtrip_floor(xre_t.size))
+                nbytes = 16 * n * b
+                record(f"watfft/large-nb/f32/n{n}", t_ln, b, nbytes=nbytes,
+                       times=st["ours_times"])
+                record(f"jnp.fft/f32/n{n}", t_j8, b, nbytes=nbytes,
+                       times=st["base_times"])
+                print(f"  [large-nb] n={n} b={b}: ours={2*b/t_ln:,.0f}/s "
+                      f"jnp={2*b/t_j8:,.0f}/s x{ratio:.2f}", file=sys.stderr)
+        except Exception as e:
+            print(f"  large-nb bench failed: {str(e)[:120]}", file=sys.stderr)
 
     # ---------------- arbitrary-size chirp-z (Bluestein) ------------------
     # non-pow2 n: three pow2 transforms on the fast kernels vs jnp.fft's
     # own arbitrary-n path — the fftlib route for every size the pow2
     # kernels cannot take directly
-    try:
-        from watfft_tpu.ops.bluestein import bluestein_fft_nb
-        n, b = 1000, 2048
-        xre_t = jnp.asarray(rng.uniform(-1, 1, (n, b)).astype(np.float32))
-        xim_t = jnp.asarray(rng.uniform(-1, 1, (n, b)).astype(np.float32))
+    if not over_budget("bluestein"):
+        try:
+            from watfft_tpu.ops.bluestein import bluestein_fft_nb
+            n, b = 1000, 2048
+            xre_t = jnp.asarray(rng.uniform(-1, 1, (n, b)).astype(np.float32))
+            xim_t = jnp.asarray(rng.uniform(-1, 1, (n, b)).astype(np.float32))
 
-        def blstep(c):
-            a, bb = c
-            a, bb = bluestein_fft_nb(a, bb, inverse=False)
-            return bluestein_fft_nb(a, bb, inverse=True)
-        xre = jnp.asarray(rng.uniform(-1, 1, (b, n)).astype(np.float32))
-        xim = jnp.asarray(rng.uniform(-1, 1, (b, n)).astype(np.float32))
+            def blstep(c):
+                a, bb = c
+                a, bb = bluestein_fft_nb(a, bb, inverse=False)
+                return bluestein_fft_nb(a, bb, inverse=True)
+            xre = jnp.asarray(rng.uniform(-1, 1, (b, n)).astype(np.float32))
+            xim = jnp.asarray(rng.uniform(-1, 1, (b, n)).astype(np.float32))
 
-        def jblstep(c):
-            a, bb = c
-            z = jnp.fft.ifft(jnp.fft.fft(a + 1j * bb))
-            return z.real, z.imag
-        t_bl, t_jbl, ratio = _paired(
-            time_chain, blstep, (xre_t, xim_t), jblstep, (xre, xim), reps=3)
-        record(f"watfft/bluestein/f32/n{n}", t_bl, b)
-        record(f"jnp.fft/nonpow2/f32/n{n}", t_jbl, b)
-        print(f"  [bluestein] n={n} b={b}: ours={2*b/t_bl:,.0f}/s "
-              f"jnp={2*b/t_jbl:,.0f}/s x{ratio:.2f}", file=sys.stderr)
-    except Exception as e:
-        print(f"  bluestein bench failed: {str(e)[:120]}", file=sys.stderr)
+            def jblstep(c):
+                a, bb = c
+                z = jnp.fft.ifft(jnp.fft.fft(a + 1j * bb))
+                return z.real, z.imag
+            t_bl, t_jbl, ratio, st = paired_chain(
+                blstep, (xre_t, xim_t), jblstep, (xre, xim), reps=3)
+            record(f"watfft/bluestein/f32/n{n}", t_bl, b,
+                   times=st["ours_times"])
+            record(f"jnp.fft/nonpow2/f32/n{n}", t_jbl, b,
+                   times=st["base_times"])
+            print(f"  [bluestein] n={n} b={b}: ours={2*b/t_bl:,.0f}/s "
+                  f"jnp={2*b/t_jbl:,.0f}/s x{ratio:.2f}", file=sys.stderr)
+        except Exception as e:
+            print(f"  bluestein bench failed: {str(e)[:120]}",
+                  file=sys.stderr)
 
     # ---------------- large-N real path (planner target n > 16384) -------
-    try:
-        from watfft_tpu.ops.large import rfft_large_nb, irfft_large_nb
-        for n, b in ((32768, 128), (1 << 17, 128)):
-            xr_t = jnp.asarray(rng.uniform(-1, 1, (n, b)).astype(np.float32))
+    if not over_budget("rfft-large"):
+        try:
+            from watfft_tpu.ops.large import rfft_large_nb, irfft_large_nb
+            for n, b in (((32768, 128), (1 << 17, 128)) if full
+                         else ((32768, 128),)):
+                xr_t = jnp.asarray(
+                    rng.uniform(-1, 1, (n, b)).astype(np.float32))
 
-            def rlstep(c):
-                re, im = rfft_large_nb(c)
-                return irfft_large_nb(re, im)
-            xr = jnp.asarray(rng.uniform(-1, 1, (b, n)).astype(np.float32))
+                def rlstep(c):
+                    re, im = rfft_large_nb(c)
+                    return irfft_large_nb(re, im)
+                xr = jnp.asarray(rng.uniform(-1, 1, (b, n)).astype(np.float32))
 
-            def jrlstep(c):
-                return jnp.fft.irfft(jnp.fft.rfft(c), n=n)
-            t_rl, t_jrl, ratio = _paired(
-                time_chain, rlstep, xr_t, jrlstep, xr, reps=3,
-                floor_ours=_roundtrip_floor(xr_t.size) / 2)
-            nbytes = 8 * n * b
-            record(f"watfft/rfft-large/f32/n{n}", t_rl, b, nbytes=nbytes)
-            record(f"jnp.fft/real/f32/n{n}", t_jrl, b, nbytes=nbytes)
-            print(f"  [rfft-large] n={n} b={b}: ours={2*b/t_rl:,.0f}/s "
-                  f"jnp={2*b/t_jrl:,.0f}/s x{ratio:.2f}", file=sys.stderr)
-    except Exception as e:
-        print(f"  rfft-large bench failed: {str(e)[:120]}", file=sys.stderr)
+                def jrlstep(c):
+                    return jnp.fft.irfft(jnp.fft.rfft(c), n=n)
+                t_rl, t_jrl, ratio, st = paired_chain(
+                    rlstep, xr_t, jrlstep, xr, reps=3,
+                    floor_ours=_roundtrip_floor(xr_t.size) / 2)
+                nbytes = 8 * n * b
+                record(f"watfft/rfft-large/f32/n{n}", t_rl, b, nbytes=nbytes,
+                       times=st["ours_times"])
+                record(f"jnp.fft/real/f32/n{n}", t_jrl, b, nbytes=nbytes,
+                       times=st["base_times"])
+                print(f"  [rfft-large] n={n} b={b}: ours={2*b/t_rl:,.0f}/s "
+                      f"jnp={2*b/t_jrl:,.0f}/s x{ratio:.2f}", file=sys.stderr)
+        except Exception as e:
+            print(f"  rfft-large bench failed: {str(e)[:120]}",
+                  file=sys.stderr)
 
     # ---------------- four-step XLA fallback surface ----------------------
-    try:
-        n, b = 32768, 64
-        ctx = FFTContext(n, "float32")
-        xre = jnp.asarray(rng.uniform(-1, 1, (b, n)).astype(np.float32))
-        xim = jnp.asarray(rng.uniform(-1, 1, (b, n)).astype(np.float32))
+    if not over_budget("fourstep"):
+        try:
+            n, b = 32768, 64
+            ctx = FFTContext(n, "float32")
+            xre = jnp.asarray(rng.uniform(-1, 1, (b, n)).astype(np.float32))
+            xim = jnp.asarray(rng.uniform(-1, 1, (b, n)).astype(np.float32))
 
-        def fstep(c):
-            a, bb = c
-            a, bb = ctx.forward_planes_fourstep(a, bb)
-            return ctx.inverse_planes_fourstep(a, bb)
-        t_f = sorted(time_chain(fstep, (xre, xim)) for _ in range(3))[1]
-        record(f"watfft/fourstep-mxu/f32/n{n}", t_f, b)
-        print(f"  [fourstep-xla] n={n} b={b}: {2*b/t_f:,.0f}/s",
-              file=sys.stderr)
-    except Exception as e:
-        print(f"  fourstep bench failed: {str(e)[:120]}", file=sys.stderr)
+            def fstep(c):
+                a, bb = c
+                a, bb = ctx.forward_planes_fourstep(a, bb)
+                return ctx.inverse_planes_fourstep(a, bb)
+            t_f, ts = _solo(fstep, (xre, xim))
+            record(f"watfft/fourstep-mxu/f32/n{n}", t_f, b, times=ts)
+            print(f"  [fourstep-xla] n={n} b={b}: {2*b/t_f:,.0f}/s",
+                  file=sys.stderr)
+        except Exception as e:
+            print(f"  fourstep bench failed: {str(e)[:120]}", file=sys.stderr)
 
     # ---------------- STFT workload (BASELINE config 4) -------------------
-    try:
-        n, b = 1024, 4096
-        # native 3D layout (Exps 37/38): the STFT frame batch rides it too
-        xr_t = jnp.asarray(
-            rng.uniform(-1, 1, (n, b)).astype(np.float32).reshape(n, 8, b // 8))
+    if not over_budget("stft"):
+        try:
+            n, b = 1024, 4096
+            # native 3D layout (Exps 37/38): the STFT frame batch rides it
+            xr_t = jnp.asarray(
+                rng.uniform(-1, 1, (n, b)).astype(np.float32)
+                .reshape(n, 8, b // 8))
 
-        def sstep(c):
-            re, im = rfft_nb(c)
-            # keep carry shape [n, 8, W]: drop the extra bin row
-            return jnp.concatenate([re[:-1], im[:-1]], axis=0)[:n]
-        xr = jnp.asarray(rng.uniform(-1, 1, (b, n)).astype(np.float32))
+            def sstep(c):
+                re, im = rfft_nb(c)
+                # keep carry shape [n, 8, W]: drop the extra bin row
+                return jnp.concatenate([re[:-1], im[:-1]], axis=0)[:n]
+            xr = jnp.asarray(rng.uniform(-1, 1, (b, n)).astype(np.float32))
 
-        def jstft(c):
-            y = jnp.fft.rfft(c)
-            return jnp.concatenate([y.real[:, :-1], y.imag[:, :-1]], axis=1)[:, :n]
-        t_s, t_js, ratio = _paired(time_chain, sstep, xr_t, jstft, xr, reps=3)
-        print(f"  [stft-4096x1024] ours={b/t_s:,.0f}/s jnp={b/t_js:,.0f}/s "
-              f"x{ratio:.2f}", file=sys.stderr)
-        record("watfft/stft-workload/f32/n1024", t_s, b, items=1)
-        record("jnp.fft/stft-workload/f32/n1024", t_js, b, items=1)
-    except Exception as e:
-        print(f"  stft bench failed: {str(e)[:120]}", file=sys.stderr)
+            def jstft(c):
+                y = jnp.fft.rfft(c)
+                return jnp.concatenate(
+                    [y.real[:, :-1], y.imag[:, :-1]], axis=1)[:, :n]
+            t_s, t_js, ratio, st = paired_chain(sstep, xr_t, jstft, xr,
+                                                reps=3)
+            print(f"  [stft-4096x1024] ours={b/t_s:,.0f}/s "
+                  f"jnp={b/t_js:,.0f}/s x{ratio:.2f}", file=sys.stderr)
+            record("watfft/stft-workload/f32/n1024", t_s, b, items=1,
+                   times=st["ours_times"])
+            record("jnp.fft/stft-workload/f32/n1024", t_js, b, items=1,
+                   times=st["base_times"])
+        except Exception as e:
+            print(f"  stft bench failed: {str(e)[:120]}", file=sys.stderr)
 
     # ---------------- single-chip 2D FFT (fft2) ----------------------------
     # separable row/column passes on the flagship kernel with one transpose
     # (ops/fft2.py) vs jnp.fft.fft2 — the single-chip face of BASELINE
     # config 5's 2D axis (the mesh-sharded version is validated in the
     # driver dryrun; it cannot be timed on one chip)
-    try:
-        from watfft_tpu.ops.fft2 import fft2_planes
-        bb2, h2, w2 = 128, 256, 256  # b=128: native fft2_nb path (Exp 36)
-        zre = jnp.asarray(rng.uniform(-1, 1, (bb2, h2, w2)).astype(np.float32))
-        zim = jnp.asarray(rng.uniform(-1, 1, (bb2, h2, w2)).astype(np.float32))
+    if not over_budget("fft2"):
+        try:
+            from watfft_tpu.ops.fft2 import fft2_planes
+            bb2, h2, w2 = 128, 256, 256  # b=128: native fft2_nb path (Exp 36)
+            zre = jnp.asarray(
+                rng.uniform(-1, 1, (bb2, h2, w2)).astype(np.float32))
+            zim = jnp.asarray(
+                rng.uniform(-1, 1, (bb2, h2, w2)).astype(np.float32))
 
-        def f2step(c):
-            a, bbx = c
-            a, bbx = fft2_planes(a, bbx, inverse=False)
-            return fft2_planes(a, bbx, inverse=True)
+            def f2step(c):
+                a, bbx = c
+                a, bbx = fft2_planes(a, bbx, inverse=False)
+                return fft2_planes(a, bbx, inverse=True)
 
-        def jf2step(c):
-            a, bbx = c
-            z = jnp.fft.ifft2(jnp.fft.fft2(a + 1j * bbx))
-            return z.real, z.imag
-        t_f2, t_jf2, ratio = _paired(
-            time_chain, f2step, (zre, zim), jf2step, (zre, zim), reps=3,
-            floor_ours=2 * _roundtrip_floor(zre.size))  # 2 passes/direction
-        nbytes = 32 * bb2 * h2 * w2  # 4 duplex plane-pair passes roundtrip
-        record(f"watfft/fft2-planes/f32/{h2}x{w2}", t_f2, bb2, nbytes=nbytes)
-        record(f"jnp.fft/fft2/f32/{h2}x{w2}", t_jf2, bb2, nbytes=nbytes)
-        print(f"  [fft2] {h2}x{w2} b={bb2}: ours={2*bb2/t_f2:,.0f}/s "
-              f"jnp={2*bb2/t_jf2:,.0f}/s x{ratio:.2f}", file=sys.stderr)
-    except Exception as e:
-        print(f"  fft2 bench failed: {str(e)[:120]}", file=sys.stderr)
+            def jf2step(c):
+                a, bbx = c
+                z = jnp.fft.ifft2(jnp.fft.fft2(a + 1j * bbx))
+                return z.real, z.imag
+            t_f2, t_jf2, ratio, st = paired_chain(
+                f2step, (zre, zim), jf2step, (zre, zim), reps=3,
+                floor_ours=2 * _roundtrip_floor(zre.size))  # 2 passes/dir
+            nbytes = 32 * bb2 * h2 * w2  # 4 duplex plane-pair passes
+            record(f"watfft/fft2-planes/f32/{h2}x{w2}", t_f2, bb2,
+                   nbytes=nbytes, times=st["ours_times"])
+            record(f"jnp.fft/fft2/f32/{h2}x{w2}", t_jf2, bb2, nbytes=nbytes,
+                   times=st["base_times"])
+            print(f"  [fft2] {h2}x{w2} b={bb2}: ours={2*bb2/t_f2:,.0f}/s "
+                  f"jnp={2*bb2/t_jf2:,.0f}/s x{ratio:.2f}", file=sys.stderr)
+        except Exception as e:
+            print(f"  fft2 bench failed: {str(e)[:120]}", file=sys.stderr)
 
     # ---------------- large-N four-step (BASELINE config 5) ---------------
     from watfft_tpu.ops.large import fft_large
-    # 21/22: the 2D tiled-twiddle extension (round-3 session 3 — the fused
-    # pipeline cannot compile there; singles win 1.27x/1.78x vs jnp)
-    for log in ((16, 18, 20, 21, 22) if full else (20, 21, 22)):
+    # default: the 2^20 fused-pipeline point; --full adds the full span incl.
+    # the 2^21/2^22 tiled-twiddle extension (round-3 session 3)
+    for log in ((16, 18, 20, 21, 22) if full else (20,)):
+        if over_budget(f"fft-large-2^{log}"):
+            break
         try:
             nn = 1 << log
             xs = jnp.asarray(rng.uniform(-1, 1, nn).astype(np.float32))
@@ -786,29 +870,30 @@ def main(full: bool = False) -> None:
                 a, bb = c
                 z = jnp.fft.ifft(jnp.fft.fft(a + 1j * bb))
                 return z.real, z.imag
-            t_l, t_jl, ratio = _paired(
-                time_chain, lstep, (xs, ys), jlstep, (xs, ys),
+            t_l, t_jl, ratio, st = paired_chain(
+                lstep, (xs, ys), jlstep, (xs, ys),
                 reps=3, r1=16, r2=96)
             print(f"  [large] 2^{log} ours={t_l*1e6:,.0f}us "
                   f"jnp={t_jl*1e6:,.0f}us x{ratio:.2f}", file=sys.stderr)
-            record(f"watfft/fft-large/f32/n{nn}", t_l, 1)
-            record(f"jnp.fft/fft-large/f32/n{nn}", t_jl, 1)
+            record(f"watfft/fft-large/f32/n{nn}", t_l, 1,
+                   times=st["ours_times"])
+            record(f"jnp.fft/fft-large/f32/n{nn}", t_jl, 1,
+                   times=st["base_times"])
         except Exception as e:
             print(f"  large 2^{log} bench failed: {str(e)[:120]}",
                   file=sys.stderr)
 
     try:
-        path = save_results("headline", results)
-        print(f"saved: {path}", file=sys.stderr)
+        # a truncated run must never clobber the committed full snapshot
+        # (tests/test_meta.py asserts every surface has a row in it)
+        bench_id = "headline" if not truncated else "headline.partial"
+        path = save_results(bench_id, results)
+        print(f"saved: {path} "
+              f"({time.perf_counter()-t_start:.0f}s total"
+              + (f", {len(truncated)} sections skipped" if truncated else "")
+              + ")", file=sys.stderr)
     except Exception as e:
         print(f"save failed: {e}", file=sys.stderr)
-
-    print(json.dumps({
-        "metric": "batched f32 complex FFT geomean speedup vs jnp.fft (N=16-4096)",
-        "value": round(geomean, 4),
-        "unit": "x",
-        "vs_baseline": round(geomean / 2.0, 4),
-    }))
 
 
 if __name__ == "__main__":

@@ -18,3 +18,12 @@ import jax  # noqa: E402
 # update below (after import) reliably pins tests to CPU.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+# Persistent compilation cache (repo-local, gitignored): the interpret-mode
+# Pallas kernels at the per-bin override sizes (tests/test_per_bin.py) cost
+# 50-210 s of XLA:CPU compile EACH cold (Exp 43-style measurement: n=4096
+# first call 208 s, second 0.14 s); the cache amortizes them across runs on
+# the same machine.
+from watfft_tpu.bench.harness import enable_compile_cache  # noqa: E402
+
+enable_compile_cache()
