@@ -175,10 +175,13 @@ class FFTContext(_BaseContext):
 
     def _bm_stockham(self, xre, xim, inverse: bool):
         """Batch-major [..., n] planes -> Pallas time-major kernel behind
-        XLA transposes + lane padding. For n <= DMA3D_MAX_N the transposed
-        planes reshape FREE into the native sublane-folded [n, 8, W] layout
-        (Exp 28), skipping the 2D kernel mode's in-VMEM relayout — this is
-        what closes the small-n [dispatch] gap vs the raw 3D bench chain."""
+        XLA transposes + lane padding. The 3D sublane fold is applied only
+        at the sizes where it measured faster BEHIND a transpose
+        (config.DISPATCH_3D_SIZES, Exp 44 follow-up: only n=2048 — at
+        64..1024 the fold costs more than the 2D kernel path saves, unlike
+        the native-layout chained path where 3D wins through 2048, Exp 38).
+        An in-VMEM transpose kernel variant (stockham_fft_bm) measured
+        1.5-2.1x WORSE than these XLA boundary transposes (Exp 44)."""
         from .ops.pallas_stockham import stockham_fft_nb
         xre, xim = self._prep(xre), self._prep(xim)
         lead = xre.shape[:-1]
@@ -190,7 +193,7 @@ class FFTContext(_BaseContext):
             a = jnp.pad(a, ((0, 0), (0, pad)))
             b = jnp.pad(b, ((0, 0), (0, pad)))
         bp = a.shape[-1]
-        use3d = self.size <= config.DMA3D_MAX_N and bp % (8 * 128) == 0
+        use3d = self.size in config.DISPATCH_3D_SIZES and bp % (8 * 128) == 0
         if use3d:
             a = a.reshape(self.size, 8, bp // 8)
             b = b.reshape(self.size, 8, bp // 8)

