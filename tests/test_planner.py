@@ -53,15 +53,20 @@ def test_decision_table_pallas(interpret_mode):
     assert planner.c2c_kernel(1 << 22, "float32", batch=4) == "fourstep"  # tw cap
     assert planner.c2c_kernel(1 << 23, "float32", batch=1) == "fourstep"
     assert planner.c2c_kernel(1024, "float64") == "fourstep"   # f64 tier is separate
-    # real path: per-size, PER-DIRECTION codelet table (Exp 32/35 — the
-    # fused FORWARD wins at 16/32/64/4096; the fused inverse never beats
-    # the hybrid standalone, so the inverse table is empty by default)
+    # real path: per-size, PER-DIRECTION codelet table (Exp 32/35, re-probed
+    # in Exp 41 after the Exp 39 radix replans — the fused FORWARD wins at
+    # 16/32/64/256/2048/4096; the fused inverse never beats the hybrid
+    # standalone in either probe, so the inverse table is empty by default)
     assert planner.r2c_kernel(64, "float32") == "rfft-pallas-fused"
+    assert planner.r2c_kernel(256, "float32") == "rfft-pallas-fused"
+    assert planner.r2c_kernel(2048, "float32", "forward") == "rfft-pallas-fused"
     assert planner.r2c_kernel(4096, "float32", "forward") == "rfft-pallas-fused"
+    assert planner.r2c_kernel(128, "float32", "forward") == "rfft-pallas"
+    assert planner.r2c_kernel(512, "float32", "forward") == "rfft-pallas"
     assert planner.r2c_kernel(1024, "float32", "forward") == "rfft-pallas"
     assert planner.r2c_kernel(64, "float32", "inverse") == "rfft-pallas"
+    assert planner.r2c_kernel(256, "float32", "inverse") == "rfft-pallas"
     assert planner.r2c_kernel(4096, "float32", "inverse") == "rfft-pallas"
-    assert planner.r2c_kernel(256, "float32") == "rfft-pallas"
     assert planner.r2c_kernel(8192, "float32") == "rfft-pallas"
     assert planner.r2c_kernel(4, "float32") == "fourstep"      # below kernel range
     # past the Stockham ceiling the real path rides the batched four-step

@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from watfft_tpu import config
-from watfft_tpu.bench.harness import time_chain
+from watfft_tpu.bench.harness import ChainTimer, enable_compile_cache
 from watfft_tpu.ops import pallas_rfft as pr
 
 TOTAL = 1 << 21
@@ -36,6 +36,7 @@ def med(xs):
 
 
 def main():
+    enable_compile_cache()
     reps = 5
     if "--reps" in sys.argv:
         reps = int(sys.argv[sys.argv.index("--reps") + 1])
@@ -107,10 +108,14 @@ def main():
         }
         for tag, cands, args in (("fwd", cand_f, x),
                                  ("inv", cand_i, (sre, sim))):
+            timers = {}
+            for k, step in cands.items():
+                timers[k] = ChainTimer(step, args)
+                timers[k].calibrate()
             ts = {k: [] for k in cands}
             for _ in range(reps):
-                for k, step in cands.items():
-                    ts[k].append(time_chain(step, args))
+                for k, t_ in timers.items():
+                    ts[k].append(t_.slope())
             t = {k: med(v) for k, v in ts.items()}
             r_lc_blk = med([b_ / a_ for a_, b_ in zip(ts["lc"], ts["blk"])])
             r_lc_hyb = med([b_ / a_ for a_, b_ in zip(ts["lc"], ts["hyb"])])

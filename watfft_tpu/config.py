@@ -102,12 +102,19 @@ RFFT_PALLAS_MAX_N = _int_env("WATFFT_RFFT_MAX_N", 16384)  # m=8192 core, Exp 20
 # unprunable consumers (a [0,0]-scalar consumer lets XLA slice the hybrid's
 # post-process to one element, faking a 2-4x hybrid "win"). Forward
 # fused/hybrid: 16: 0.53, 64: 0.59, 256: 1.00, 1024: 1.09, 4096: 0.69.
-# Inverse: hybrid ties or wins everywhere (64: 2.47, 4096: 1.21; ties
-# 16/256/1024) — the fused irfft never beats the hybrid standalone, so its
-# default table is EMPTY (the kernel stays registered + benched).
+# Round-4 re-probe AFTER the Exp 39 radix replans (Exp 41,
+# tools/probe_mirror_lc.py — the hybrid's core got faster at some sizes
+# and slower at others, moving the crossovers): forward fused wins grew to
+# 256 (20.6us vs hybrid 33.3) and 2048 (65.3 vs 97.1); 128/512/1024 stay
+# hybrid (hybrid 25.5/45.7/42.2us vs fused 29.8/45.1/53.8).
+# Inverse: hybrid ties or wins everywhere in BOTH probes (Exp 41 inv
+# fused/hybrid 0.56-0.87 at every size) — the fused irfft never beats the
+# hybrid standalone, so its default table is EMPTY (the kernel stays
+# registered + benched).
 RFFT_FUSED_FWD_SIZES = frozenset(
     int(s) for s in os.environ.get(
-        "WATFFT_RFFT_FUSED_FWD_SIZES", "16,32,64,4096").split(",") if s)
+        "WATFFT_RFFT_FUSED_FWD_SIZES", "16,32,64,256,2048,4096").split(",")
+    if s)
 RFFT_FUSED_INV_SIZES = frozenset(
     int(s) for s in os.environ.get(
         "WATFFT_RFFT_FUSED_INV_SIZES", "").split(",") if s)
@@ -123,8 +130,11 @@ BF16_COMPUTE = os.environ.get(
 # Lane-concat mirror (Exp 41): realize the fused kernels' Hermitian mirror
 # as ONE [G, G] @ [G, 2*nb*tile_b] matmul (re+im and all row blocks
 # concatenated on the lane axis) instead of 2*nb separate [G, G] dots.
-# Sizes where it measured faster than the per-block form are listed here;
-# n in this set flips the fused kernels to _mirror_rows_many.
+# MEASURED NEGATIVE as a default (Exp 41 paired probe: lane-concat vs
+# per-block within +-10% at 512-4096 and LOSES at 128-256 — it never flips
+# a dispatch decision), so the default set is EMPTY and the variant is
+# opt-in via env for future hardware; n in this set flips the fused
+# kernels to _mirror_rows_many.
 RFFT_MIRROR_LC_SIZES = frozenset(
     int(s) for s in os.environ.get(
         "WATFFT_RFFT_MIRROR_LC_SIZES", "").split(",") if s)
