@@ -103,3 +103,25 @@ def test_bf16_compute_tier(n, monkeypatch):
     bre, bim = stockham_fft_nb(yre, yim, inverse=True)
     back = np.asarray(bre.astype(jnp.float32))
     assert np.max(np.abs(back - xre)) < 1e-1
+
+
+def test_bf16_compute_tier_wide_batch(monkeypatch):
+    """ADVICE r3 #4: the wide-batch case (n=64, b=2048) that would take the
+    use3d path under f32. Under bf16c the 3D sublane fold violates Mosaic's
+    (16, 128) bf16 tiling and fails to compile ON CHIP (Exp 42), so
+    _stockham_call must force the 2D path — this covers that dispatch
+    branch end-to-end (interpret mode here; bench.py runs it on chip)."""
+    from watfft_tpu import config
+    monkeypatch.setattr(config, "BF16_COMPUTE", True)
+    rng = ref.seeded_rng(99)
+    n, b = 64, 2048
+    xre = rng.uniform(-1, 1, (n, b)).astype(np.float32)
+    xim = rng.uniform(-1, 1, (n, b)).astype(np.float32)
+    yre, yim = stockham_fft_nb(jnp.asarray(xre, jnp.bfloat16),
+                               jnp.asarray(xim, jnp.bfloat16))
+    assert yre.dtype == jnp.bfloat16
+    got = (np.asarray(yre.astype(jnp.float32))
+           + 1j * np.asarray(yim.astype(jnp.float32)))
+    expected = ref.dft(xre.T + 1j * xim.T).T
+    err = np.max(np.abs(got - expected)) / np.max(np.abs(expected))
+    assert err < 5e-2, err

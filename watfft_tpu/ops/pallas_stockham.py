@@ -386,7 +386,13 @@ def _stockham_call(xre, xim, twre, twim, n, inverse, tile_b, interpret=False,
     b = xre.shape[-1]
     stages = tuple(stage_plan(n))
     offsets = make_twiddle_pack(n, inverse)[2]
-    use3d = n <= config.USE3D_MAX_N and tile_b >= 1024 and tile_b % 8 == 0
+    # bf16 compute never takes the use3d in-VMEM relayout: the [n, tile_b]
+    # -> [n, 8, w] sublane-fold of a bfloat16 value violates Mosaic's
+    # (16, 128) bf16 tiling and fails to compile ON CHIP (round-4 repro;
+    # interpret mode hid it — ADVICE r3 #1). The 2D path compiles and runs
+    # at every size.
+    use3d = (n <= config.USE3D_MAX_N and tile_b >= 1024 and tile_b % 8 == 0
+             and not bf16c)
     if bf16c:
         twre = twre.astype(jnp.bfloat16)
         twim = twim.astype(jnp.bfloat16)

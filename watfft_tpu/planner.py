@@ -64,6 +64,12 @@ def c2c_kernel(n: int, dtype: str, batch: int | None = None) -> str:
     config.TILED_TW_CAP_BYTES. batch=None means unknown -> conservative
     'fourstep' in that range."""
     if dtype == "float32" and pallas_available() and is_power_of_two(n):
+        # Small-n note: 'mxu-dft' (whole transform as one MXU matmul) is
+        # deliberately NEVER dispatched — it measured 0.56-0.62x the VPU
+        # Stockham kernel at every n <= 128 (Exp 17: HIGHEST-precision
+        # matmul passes cost more than the permutes they replace); it stays
+        # registered + benched so the negative re-validates per hardware
+        # generation.
         # Round-3 crossover (config.py table): the four-step overtakes the
         # single kernel at 2^13 — cube 2.59x vs stockham 2.13x at 8192,
         # 2.22x vs 1.14x at 16384.
