@@ -39,9 +39,12 @@ __all__ = ["fft", "ifft", "rfft", "irfft", "fft2", "ifft2",
 
 
 def _xp():
-    """Array namespace for complex plumbing: numpy on TPU backends (complex
-    never touches the axon device), jnp elsewhere (stays on device)."""
-    return np if jax.default_backend() == "tpu" else jnp
+    """Array namespace for complex plumbing: numpy on the axon tunnel
+    (complex never touches that device — api._complex_device_ok), jnp
+    everywhere else (CPU backends AND directly-attached TPUs: the plumbing
+    stays device-resident and the convenience calls compile to one program
+    through the context jits)."""
+    return jnp if api._complex_device_ok() else np
 
 
 def _norm_scale(norm, n, direction):
@@ -81,6 +84,10 @@ def _bluestein_bm(moved, inverse: bool, xp):
     from .ops.bluestein import bluestein_fft_nb
     lead = moved.shape[:-1]
     n = moved.shape[-1]
+    if xp is jnp:  # complex-capable device: stay resident end-to-end
+        z = jnp.asarray(moved, jnp.complex64).reshape(-1, n).T
+        ore, oim = bluestein_fft_nb(z.real, z.imag, inverse=inverse)
+        return (ore + 1j * oim).T.reshape(*lead, n)
     a2 = np.asarray(moved).astype(np.complex64).reshape(-1, n)
     re = jnp.asarray(np.ascontiguousarray(a2.real.T))
     im = jnp.asarray(np.ascontiguousarray(a2.imag.T))
@@ -143,6 +150,17 @@ def _irfft_bluestein(moved, n, xp):
     run the Bluestein inverse; numpy semantics exactly — the imaginary part
     of bin 0 is ignored, and for EVEN n so is the Nyquist bin's, while for
     ODD n the last bin's imaginary part is USED (there is no Nyquist bin)."""
+    if xp is jnp:  # complex-capable device: stay resident
+        spec = jnp.asarray(moved, jnp.complex64)
+        spec = spec.at[..., 0].set(spec[..., 0].real.astype(jnp.complex64))
+        if n % 2 == 0:
+            spec = spec.at[..., -1].set(
+                spec[..., -1].real.astype(jnp.complex64))
+            mid = spec[..., 1:-1]
+        else:
+            mid = spec[..., 1:]
+        full = jnp.concatenate([spec, jnp.conj(mid[..., ::-1])], axis=-1)
+        return _bluestein_bm(full, True, jnp).real
     spec = np.asarray(moved).astype(np.complex64)
     spec[..., 0] = spec[..., 0].real
     if n % 2 == 0:
