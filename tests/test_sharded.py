@@ -139,3 +139,59 @@ def test_fft2_sharded_baseline_shape_4096():
     expected = np.fft.fft2(xre.astype(np.float64) + 1j * xim.astype(np.float64))
     rel = np.max(np.abs(got - expected)) / np.max(np.abs(expected))
     assert rel < 5e-6, rel
+
+
+@needs_devices
+def test_rfft_large_sharded_roundtrip_and_reference():
+    """Distributed rfft-large (VERDICT r3 #6): one huge REAL transform —
+    r2c packed core on the distributed four-step + sharded Hermitian
+    recombination — vs numpy, plus the inverse roundtrip."""
+    from watfft_tpu.parallel.real_sharded import (rfft_large_sharded,
+                                                  irfft_large_sharded)
+    mesh = make_mesh(8)
+    rng = ref.seeded_rng(10)
+    n = 1 << 15  # m = 2^14 core: large_split factors divide the mesh
+    x = rng.uniform(-1, 1, n).astype(np.float32)
+    re, im = jax.jit(lambda a: rfft_large_sharded(a, mesh))(x)
+    got = np.asarray(re) + 1j * np.asarray(im)
+    expected = np.fft.rfft(x.astype(np.float64))
+    assert got.shape == (n // 2 + 1,)
+    assert np.max(np.abs(got - expected)) / np.max(np.abs(expected)) < 5e-6
+    back = np.asarray(jax.jit(
+        lambda a, b: irfft_large_sharded(a, b, mesh))(re, im))
+    assert np.max(np.abs(back - x)) < 1e-4
+
+
+@needs_devices
+@pytest.mark.parametrize("h,w", [(64, 64), (64, 128)])
+def test_rfft2_sharded_matches_numpy(h, w):
+    """2D real FFT over the mesh: rows local, W/2 columns through the
+    all_to_all pair, Nyquist column all_gathered + redundant (the odd
+    W/2+1 width cannot tile an all_to_all)."""
+    from watfft_tpu.parallel.real_sharded import rfft2_sharded, irfft2_sharded
+    mesh = make_mesh(8)
+    rng = ref.seeded_rng(11)
+    x = rng.uniform(-1, 1, (h, w)).astype(np.float32)
+    re, im = jax.jit(lambda a: rfft2_sharded(a, mesh))(x)
+    got = np.asarray(re) + 1j * np.asarray(im)
+    expected = np.fft.rfft2(x.astype(np.float64))
+    assert got.shape == (h, w // 2 + 1)
+    assert np.max(np.abs(got - expected)) / np.max(np.abs(expected)) < 5e-6
+    back = np.asarray(jax.jit(lambda a, b: irfft2_sharded(a, b, mesh))(re, im))
+    assert np.max(np.abs(back - x)) < 1e-5
+
+
+@needs_devices
+def test_stft_sharded_matches_single_chip():
+    """Batch-sharded STFT step (BASELINE config 4's multi-chip face, zero
+    collectives) == the single-chip stft on the same input."""
+    from watfft_tpu.parallel.real_sharded import stft_sharded
+    from watfft_tpu.stft import stft
+    mesh = make_mesh(8)
+    rng = ref.seeded_rng(12)
+    x = rng.uniform(-1, 1, (16, 512)).astype(np.float32)
+    s_re, s_im = jax.jit(
+        lambda a: stft_sharded(a, mesh, n_fft=128, hop=64))(x)
+    r_re, r_im = stft(x, n_fft=128, hop=64)
+    np.testing.assert_allclose(np.asarray(s_re), np.asarray(r_re), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(s_im), np.asarray(r_im), atol=2e-5)

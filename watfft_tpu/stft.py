@@ -238,5 +238,13 @@ _rfft_ctxs: dict = {}
 def _ctx_cache_get(n_fft: int):
     from .api import RFFTContext
     if n_fft not in _rfft_ctxs:
-        _rfft_ctxs[n_fft] = RFFTContext(n_fft, "float32")
+        ctx = RFFTContext(n_fft, "float32")
+        # A context built UNDER A TRACE (first stft call inside a user's
+        # jit/shard_map) holds trace-local table values — caching it would
+        # leak tracers into later eager calls (the device-array-cache class
+        # CLAUDE.md bans; found by test_stft_sharded_matches_single_chip).
+        # Use it for this trace only; cache the first eagerly-built one.
+        if isinstance(jax.tree.leaves(ctx._fwd_tables)[0], jax.core.Tracer):
+            return ctx
+        _rfft_ctxs[n_fft] = ctx
     return _rfft_ctxs[n_fft]
