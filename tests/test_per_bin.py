@@ -13,10 +13,22 @@ import numpy as np
 import pytest
 
 from watfft_tpu import registry
+from watfft_tpu.ops.pallas_stockham import _PLAN_OVERRIDES
 from watfft_tpu.utils.tolerances import PER_BIN
 
 CASES = [("float64", [8, 16, 32, 64, 128, 256]),
          ("float32", [8, 16, 32, 64, 128, 256, 512, 1024])]
+
+# Sizes carrying measured radix-32/64 plan overrides (Exp 39) get the full
+# per-bin sweep too — "the test class that would have caught the historical
+# rfft_32 bug" must cover exactly the sizes whose plans are freshest
+# (VERDICT r3 #4). Restricted to the plan-owning flagship surface and run
+# in fixed-batch chunks: interpret-mode compiles cost 50-210 s per
+# (n, batch) shape (compile-dominated — n=4096 first call 208 s, run
+# 0.14 s), so one compile per size is the whole budget; every other
+# surface already sweeps per-bin to 1024 above.
+OVERRIDE_SIZES = sorted(n for n in _PLAN_OVERRIDES if n > 1024)
+CHUNK = 512
 
 
 @pytest.mark.parametrize("dtype,sizes", CASES)
@@ -50,3 +62,47 @@ def test_per_bin_real(dtype, sizes):
             X = np.asarray(e.make(n)(basis), np.complex128)
             err = np.max(np.abs(X - expected))
             assert err < PER_BIN[dtype](n), f"{e.name} n={n} err={err:.3e}"
+
+
+@pytest.mark.parametrize("n", OVERRIDE_SIZES)
+def test_per_bin_override_sizes(n):
+    """All n bins at every radix-32/64 override size, via the flagship
+    stockham-pallas surface, chunked at a fixed batch so the interpret-mode
+    kernel compiles once per size."""
+    entries = [e for e in registry.entries("complex-forward", "float32")
+               if e.name == "stockham-pallas" and e.min_size <= n <= e.max_size]
+    assert entries, f"flagship surface missing at n={n}"
+    fn = entries[0].make(n)
+    t = np.arange(n)
+    tol = PER_BIN["float32"](n)
+    for start in range(0, n, CHUNK):
+        bins = np.arange(start, min(start + CHUNK, n))
+        basis = np.exp(2j * np.pi * np.outer(bins, t) / n)  # [chunk, time]
+        X = np.asarray(fn(basis), np.complex128)
+        expected = np.zeros((len(bins), n))
+        expected[np.arange(len(bins)), bins] = n
+        err = np.max(np.abs(X - expected))
+        assert err < tol, f"n={n} bins {start}..{bins[-1]} err={err:.3e}"
+
+
+@pytest.mark.parametrize("n", [64, 512, 2048])
+def test_per_bin_native_3d_layout(n):
+    """Per-bin through the NATIVE sublane-folded [n, 8, w] layout — the
+    rank-dispatched fast path for chained work (Exp 28/38) gets the same
+    all-bins validation as the 2D path (VERDICT r3 #4). Bins ride the
+    folded batch axis: basis column k lives at [:, k//w, k%w]."""
+    from watfft_tpu.ops.pallas_stockham import stockham_fft_nb
+    import jax.numpy as jnp
+    t = np.arange(n)
+    b = max(1024, ((n + 1023) // 1024) * 1024)  # 3D needs b % (8*128) == 0
+    basis = np.exp(2j * np.pi * np.outer(t, np.arange(b)) / n)
+    basis[:, n:] = 0.0  # pad columns beyond the n bins
+    re3 = np.ascontiguousarray(basis.real.astype(np.float32)).reshape(n, 8, b // 8)
+    im3 = np.ascontiguousarray(basis.imag.astype(np.float32)).reshape(n, 8, b // 8)
+    ore, oim = stockham_fft_nb(jnp.asarray(re3), jnp.asarray(im3))
+    X = (np.asarray(ore) + 1j * np.asarray(oim)).reshape(n, b)[:, :n]
+    # forward of exp(-2i pi k t / n) puts all energy at bin k with value n
+    expected = np.zeros((n, n))
+    np.fill_diagonal(expected, n)
+    err = np.max(np.abs(X.T - expected))
+    assert err < PER_BIN["float32"](n), f"n={n} 3D-layout err={err:.3e}"
