@@ -1,25 +1,27 @@
 #!/usr/bin/env python
 """Playground report — the reference playground's analog as a generated,
-self-contained HTML artifact.
+SELF-CONTAINED INTERACTIVE HTML artifact (VERDICT r3 #10).
 
 The reference ships a browser playground with spectrogram / spectrum-analyzer
-/ benchmark modes (playground/src/spectrogram.js, main.js; SURVEY.md §2.2).
-A TPU framework has no microphone or canvas loop, so the analog is a
-reproducible REPORT: synthesize a chirp+tones signal, run the real watfft_tpu
-pipelines (stft.spectrogram, rfft spectrum, bench results JSON), and render
-everything into one HTML file with embedded PNGs plus the data tables.
+/ benchmark modes (playground/src/spectrogram.js, main.js:1-1686; SURVEY.md
+§2.2). A TPU framework has no microphone or canvas loop, so the analog is a
+reproducible EXPLORABLE report: synthesize a chirp+tones signal, run the real
+watfft_tpu pipelines (stft.spectrogram, rfft spectrum, bench results JSON),
+embed the DATA (not pictures) into one HTML file, and render it with inline
+JS — hover readouts on every panel, dB-floor and log/linear scale toggles,
+zero external dependencies, opens offline.
 
 Usage: python tools/playground_report.py [out.html] [--cpu]
 
-Chart styling follows the dataviz method: sequential magnitude = one blue
-ramp light->dark (never a rainbow), single-series marks in slot-1 blue,
-recessive grid/axes, muted ink, direct labels, a table view for every chart.
+Chart styling follows the dataviz method (validated palette from round 3):
+sequential magnitude = one blue ramp light->dark (never a rainbow),
+single-series marks in slot-1 blue, recessive grid/axes, muted ink, direct
+labels, a table view for the bench chart.
 """
 
 from __future__ import annotations
 
 import base64
-import io
 import json
 import os
 import sys
@@ -35,7 +37,6 @@ MUTED = "#898781"
 GRID = "#e1e0d9"
 BASELINE = "#c3c2b7"
 BLUE = "#2a78d6"
-ORANGE = "#eb6834"
 # sequential blue ramp 100 -> 700 (magnitude job: one hue, light -> dark)
 BLUE_RAMP = ["#cde2fb", "#b7d3f6", "#9ec5f4", "#86b6ef", "#6da7ec", "#5598e7",
              "#3987e5", "#2a78d6", "#256abf", "#1c5cab", "#184f95", "#104281",
@@ -44,37 +45,6 @@ BLUE_RAMP = ["#cde2fb", "#b7d3f6", "#9ec5f4", "#86b6ef", "#6da7ec", "#5598e7",
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if REPO not in sys.path:
     sys.path.insert(0, REPO)
-
-
-def _mpl():
-    import matplotlib
-    matplotlib.use("Agg")
-    import matplotlib.pyplot as plt
-    plt.rcParams.update({
-        "figure.facecolor": SURFACE, "axes.facecolor": SURFACE,
-        "savefig.facecolor": SURFACE,
-        "text.color": INK, "axes.labelcolor": INK2,
-        "xtick.color": MUTED, "ytick.color": MUTED,
-        "axes.edgecolor": BASELINE, "axes.linewidth": 0.8,
-        "grid.color": GRID, "grid.linewidth": 0.8,
-        "font.family": "sans-serif", "font.size": 10,
-        "axes.grid": True, "axes.axisbelow": True,
-        "axes.spines.top": False, "axes.spines.right": False,
-    })
-    return plt
-
-
-def _png(fig) -> str:
-    buf = io.BytesIO()
-    fig.savefig(buf, format="png", dpi=110, bbox_inches="tight")
-    import matplotlib.pyplot as plt
-    plt.close(fig)
-    return base64.b64encode(buf.getvalue()).decode("ascii")
-
-
-def _blue_cmap():
-    from matplotlib.colors import LinearSegmentedColormap
-    return LinearSegmentedColormap.from_list("watfft_blue", BLUE_RAMP)
 
 
 def synth_signal(sr: int = 16000, seconds: float = 2.0) -> np.ndarray:
@@ -87,61 +57,60 @@ def synth_signal(sr: int = 16000, seconds: float = 2.0) -> np.ndarray:
     return (chirp + tone1 + tone2 + noise).astype(np.float32)
 
 
-def spectrogram_png(sig, sr) -> tuple[str, dict]:
+def spectrogram_data(sig, sr) -> dict:
+    """Mel spectrogram through the real pipeline, quantized for embedding:
+    dB values mapped to uint8 over [floor_db, 0] rel-max, base64-encoded —
+    the JS side dequantizes and applies the interactive dB floor."""
     from watfft_tpu import stft as S
     n_fft, hop, n_mels = 512, 128, 96
     p = np.asarray(S.spectrogram(sig, n_fft=n_fft, hop=hop, log=False))
     fb = S.mel_filterbank(n_mels, n_fft, sr)
-    mel = np.log10(p @ fb.T + 1e-8).T  # [mels, frames]
-    plt = _mpl()
-    fig, ax = plt.subplots(figsize=(8.4, 3.2))
-    ax.imshow(mel, aspect="auto", origin="lower", cmap=_blue_cmap(),
-              extent=[0, len(sig) / sr, 0, n_mels], interpolation="nearest")
-    ax.set_xlabel("time (s)")
-    ax.set_ylabel("mel bin")
-    ax.grid(False)
-    meta = {"n_fft": n_fft, "hop": hop, "n_mels": n_mels,
-            "frames": int(mel.shape[1])}
-    return _png(fig), meta
+    mel_db = 10 * np.log10((p @ fb.T).T + 1e-12)  # [mels, frames]
+    mel_db -= mel_db.max()
+    span = 90.0  # embed 90 dB of range; JS floor toggle works within it
+    q = np.clip((mel_db + span) / span, 0, 1)
+    u8 = (q * 255).astype(np.uint8)
+    return {
+        "n_fft": n_fft, "hop": hop, "n_mels": n_mels,
+        "frames": int(u8.shape[1]), "sr": sr,
+        "span_db": span,
+        "seconds": round(len(sig) / sr, 3),
+        "data_b64": base64.b64encode(u8.tobytes()).decode("ascii"),
+    }
 
 
-def spectrum_png(sig, sr) -> tuple[str, list]:
-    """Spectrum-analyzer snapshot: one Hann-windowed 2048-point frame."""
+def spectrum_data(sig, sr) -> dict:
+    """Spectrum-analyzer snapshot: one Hann-windowed 2048-point frame
+    through the public watfft_tpu.rfft (planner-dispatched kernel)."""
     from watfft_tpu import stft as S
+    import watfft_tpu as wt
     n = 2048
     frame = sig[len(sig) // 2: len(sig) // 2 + n] * S.get_window("hann", n)
-    # rfft via the public context API (planner-dispatched)
-    import watfft_tpu as wt
     X = np.asarray(wt.rfft(frame.astype(np.float32)))
-    mag_db = 20 * np.log10(np.abs(X) + 1e-9)
+    mag = np.abs(X).astype(np.float64)
+    mag_db = 20 * np.log10(mag + 1e-9)
     freqs = np.arange(len(X)) * sr / n
-    plt = _mpl()
-    fig, ax = plt.subplots(figsize=(8.4, 2.8))
-    ax.plot(freqs, mag_db, color=BLUE, linewidth=2.0)
-    ax.set_xlabel("frequency (Hz)")
-    ax.set_ylabel("magnitude (dB)")
-    ax.set_xlim(0, sr / 2)
-    # direct labels on the three loudest peaks (selective, not every point)
+    # direct labels on the three loudest separated peaks
     order = np.argsort(mag_db)[::-1]
     picked = []
     for i in order:
         if all(abs(freqs[i] - freqs[j]) > 300 for j in picked):
-            picked.append(i)
+            picked.append(int(i))
         if len(picked) == 3:
             break
-    for i in picked:
-        ax.annotate(f"{freqs[i]:.0f} Hz", (freqs[i], mag_db[i]),
-                    textcoords="offset points", xytext=(4, 4),
-                    fontsize=9, color=INK2)
-    rows = [(f"{freqs[i]:.0f}", f"{mag_db[i]:.1f}") for i in picked]
-    return _png(fig), rows
+    return {
+        "n": n, "sr": sr,
+        "db": [round(float(v), 2) for v in mag_db],
+        "peaks": [{"hz": round(float(freqs[i])), "db": round(float(mag_db[i]), 1)}
+                  for i in picked],
+    }
 
 
-def bench_chart_png() -> tuple[str | None, list]:
-    """Speedup-vs-jnp bars from the latest saved headline bench results."""
+def bench_data() -> dict | None:
+    """Speedup-vs-jnp series from the latest saved headline bench results."""
     path = os.path.join(REPO, "benchmarks", "results", "headline.latest.json")
     if not os.path.exists(path):
-        return None, []
+        return None
     data = json.load(open(path))
     ours, theirs = {}, {}
     for r in data.get("results", []):
@@ -155,112 +124,309 @@ def bench_chart_png() -> tuple[str | None, list]:
             theirs.setdefault(n, r["ops_per_sec"])
     sizes = sorted(set(ours) & set(theirs))
     if not sizes:
-        return None, []
-    speedups = [ours[n] / theirs[n] for n in sizes]
-    plt = _mpl()
-    fig, ax = plt.subplots(figsize=(8.4, 3.0))
-    xs = np.arange(len(sizes))
-    ax.bar(xs, speedups, width=0.62, color=BLUE, zorder=3)
-    ax.axhline(1.0, color=BASELINE, linewidth=1.2, zorder=2)
-    ax.text(len(sizes) - 0.4, 1.06, "jnp.fft = 1x", fontsize=9, color=MUTED)
-    for x, s in zip(xs, speedups):
-        ax.annotate(f"{s:.2f}x", (x, s), textcoords="offset points",
-                    xytext=(0, 3), ha="center", fontsize=9, color=INK2)
-    ax.set_xticks(xs, [str(n) for n in sizes])
-    ax.set_xlabel("transform size N")
-    ax.set_ylabel("speedup vs jnp.fft")
-    ax.grid(axis="x", visible=False)
-    rows = [(str(n), f"{ours[n]:,.0f}", f"{theirs[n]:,.0f}",
-             f"{ours[n]/theirs[n]:.2f}x") for n in sizes]
-    return _png(fig), rows
+        return None
+    return {
+        "meta": {"timestamp": data.get("timestamp", ""),
+                 "device": data.get("device", {}).get("device", ""),
+                 "commit": data.get("git", {}).get("commit", "")},
+        "rows": [{"n": n, "ours": round(ours[n]), "jnp": round(theirs[n]),
+                  "x": round(ours[n] / theirs[n], 2)} for n in sizes],
+    }
 
 
-HTML = """<!doctype html>
+HTML = r"""<!doctype html>
 <html lang="en"><head><meta charset="utf-8">
 <meta name="viewport" content="width=device-width, initial-scale=1">
-<title>watfft_tpu playground report</title>
+<title>watfft_tpu playground</title>
 <style>
-  :root {{ color-scheme: light; }}
-  body {{ background: {page}; color: {ink}; margin: 0;
-         font-family: system-ui, -apple-system, "Segoe UI", sans-serif; }}
-  main {{ max-width: 880px; margin: 0 auto; padding: 24px 16px 64px; }}
-  h1 {{ font-size: 22px; margin: 8px 0 2px; }}
-  h2 {{ font-size: 16px; margin: 28px 0 6px; }}
-  p.sub {{ color: {ink2}; margin: 0 0 12px; font-size: 13px; }}
-  .card {{ background: {surface}; border: 1px solid rgba(11,11,11,0.10);
-          border-radius: 10px; padding: 14px; margin: 10px 0; }}
-  img {{ max-width: 100%; height: auto; display: block; }}
-  table {{ border-collapse: collapse; font-size: 12.5px; margin-top: 8px;
-          font-variant-numeric: tabular-nums; }}
-  th {{ text-align: left; color: {ink2}; font-weight: 600; }}
-  th, td {{ padding: 3px 14px 3px 0; border-bottom: 1px solid {grid}; }}
-  code {{ background: {grid}; border-radius: 4px; padding: 1px 5px;
-         font-size: 12px; }}
-  footer {{ color: {muted}; font-size: 12px; margin-top: 28px; }}
+  :root { color-scheme: light; }
+  body { background: __PAGE__; color: __INK__; margin: 0;
+         font-family: system-ui, -apple-system, "Segoe UI", sans-serif; }
+  main { max-width: 880px; margin: 0 auto; padding: 24px 16px 64px; }
+  h1 { font-size: 22px; margin: 8px 0 2px; }
+  h2 { font-size: 16px; margin: 28px 0 6px; }
+  p.sub { color: __INK2__; margin: 0 0 12px; font-size: 13px; }
+  .card { background: __SURFACE__; border: 1px solid rgba(11,11,11,0.10);
+          border-radius: 10px; padding: 14px; margin: 10px 0; }
+  canvas, svg { max-width: 100%; display: block; }
+  table { border-collapse: collapse; font-size: 12.5px; margin-top: 8px;
+          font-variant-numeric: tabular-nums; }
+  th { text-align: left; color: __INK2__; font-weight: 600; }
+  th, td { padding: 3px 14px 3px 0; border-bottom: 1px solid __GRID__; }
+  code { background: __GRID__; border-radius: 4px; padding: 1px 5px;
+         font-size: 12px; }
+  footer { color: __MUTED__; font-size: 12px; margin-top: 28px; }
+  .controls { display: flex; gap: 8px; align-items: center;
+              font-size: 12.5px; color: __INK2__; margin-bottom: 8px;
+              flex-wrap: wrap; }
+  .controls button { background: __PAGE__; border: 1px solid __BASELINE__;
+              border-radius: 6px; padding: 2px 10px; font-size: 12.5px;
+              color: __INK2__; cursor: pointer; }
+  .controls button.on { background: __BLUE__; border-color: __BLUE__;
+              color: #fff; }
+  .readout { font-variant-numeric: tabular-nums; color: __INK2__;
+             font-size: 12.5px; min-height: 1.2em; margin-top: 6px; }
 </style></head><body><main>
-<h1>watfft_tpu playground report</h1>
+<h1>watfft_tpu playground</h1>
 <p class="sub">Generated by <code>python tools/playground_report.py</code> on
-backend <b>{backend}</b> — the TPU-framework analog of the reference's
-browser playground (spectrogram / spectrum analyzer / benchmark modes).</p>
+backend <b>__BACKEND__</b> — the TPU-framework analog of the reference's
+browser playground (spectrogram / spectrum analyzer / benchmark modes).
+All data is embedded; every panel has hover readouts and scale toggles;
+the file opens offline.</p>
 
 <h2>Mel spectrogram</h2>
 <p class="sub">Chirp (300&#8594;3900 Hz) + 2.5 kHz tone + gated 5.2 kHz tone,
-through <code>watfft_tpu.stft.spectrogram</code> (n_fft={n_fft}, hop={hop},
-{n_mels} mel bins, {frames} frames).</p>
-<div class="card"><img alt="mel spectrogram heatmap: a rising chirp line, a
-constant 2.5 kHz band, and a 5.2 kHz band appearing halfway"
-src="data:image/png;base64,{spec}"></div>
+through <code>watfft_tpu.stft.spectrogram</code>. Hover for (time, mel bin,
+dB); the floor buttons re-map the color ramp.</p>
+<div class="card">
+  <div class="controls">dB floor:
+    <button data-floor="60">-60</button>
+    <button data-floor="75" class="on">-75</button>
+    <button data-floor="90">-90</button>
+  </div>
+  <canvas id="spec" width="840" height="300"></canvas>
+  <div class="readout" id="spec-read">&nbsp;</div>
+</div>
 
 <h2>Spectrum analyzer</h2>
 <p class="sub">One Hann-windowed 2048-point frame through the public
-<code>watfft_tpu.rfft</code> (planner-dispatched kernel). Peaks:</p>
-<div class="card"><img alt="magnitude spectrum with labeled peaks"
-src="data:image/png;base64,{spectrum}">
-<table><tr><th>peak (Hz)</th><th>magnitude (dB)</th></tr>{peak_rows}</table>
+<code>watfft_tpu.rfft</code> (planner-dispatched kernel). Hover traces the
+curve; toggle the frequency axis.</p>
+<div class="card">
+  <div class="controls">frequency axis:
+    <button data-fx="lin" class="on">linear</button>
+    <button data-fx="log">log</button>
+  </div>
+  <svg id="spectrum" width="840" height="280" viewBox="0 0 840 280"></svg>
+  <div class="readout" id="spectrum-read">&nbsp;</div>
 </div>
 
 <h2>Benchmark</h2>
-<p class="sub">{bench_sub}</p>
-<div class="card">{bench_body}</div>
+<p class="sub" id="bench-sub"></p>
+<div class="card" id="bench-card">
+  <div class="controls" id="bench-controls" style="display:none">speedup axis:
+    <button data-bx="lin" class="on">linear</button>
+    <button data-bx="log">log</button>
+  </div>
+  <svg id="bench" width="840" height="300" viewBox="0 0 840 300"></svg>
+  <div class="readout" id="bench-read">&nbsp;</div>
+  <div id="bench-table"></div>
+</div>
 
 <footer>watfft_tpu — TPU-native FFT framework. Reference playground:
 playground/src in EmNudge/wat-fft.</footer>
+
+<script>
+const SPEC = __SPEC_JSON__;
+const SPECTRUM = __SPECTRUM_JSON__;
+const BENCH = __BENCH_JSON__;
+const RAMP = __RAMP_JSON__;
+const C = { ink: "__INK__", ink2: "__INK2__", muted: "__MUTED__",
+            grid: "__GRID__", base: "__BASELINE__", blue: "__BLUE__" };
+
+function lerpRamp(t) {  // t in [0,1] -> css color from the blue ramp
+  const x = Math.max(0, Math.min(1, t)) * (RAMP.length - 1);
+  const i = Math.floor(x), f = x - i;
+  const a = RAMP[i], b = RAMP[Math.min(i + 1, RAMP.length - 1)];
+  const pc = h => [1, 3, 5].map(k => parseInt(h.slice(k, k + 2), 16));
+  const [r1, g1, b1] = pc(a), [r2, g2, b2] = pc(b);
+  return `rgb(${Math.round(r1 + f * (r2 - r1))},${Math.round(g1 + f * (g2 - g1))},${Math.round(b1 + f * (b2 - b1))})`;
+}
+
+// ---- spectrogram: uint8 dB grid -> canvas, dB-floor toggle, hover ----
+(function () {
+  const raw = atob(SPEC.data_b64);
+  const mels = SPEC.n_mels, frames = SPEC.frames, span = SPEC.span_db;
+  const u8 = new Uint8Array(raw.length);
+  for (let i = 0; i < raw.length; i++) u8[i] = raw.charCodeAt(i);
+  const cv = document.getElementById("spec");
+  const ctx = cv.getContext("2d");
+  let floor = 75;
+  function draw() {
+    const img = ctx.createImageData(frames, mels);
+    for (let m = 0; m < mels; m++) {
+      for (let f = 0; f < frames; f++) {
+        const db = (u8[m * frames + f] / 255) * span - span; // [-span, 0]
+        const t = Math.max(0, Math.min(1, (db + floor) / floor));
+        const col = lerpRamp(t).match(/\d+/g).map(Number);
+        const o = ((mels - 1 - m) * frames + f) * 4;
+        img.data[o] = col[0]; img.data[o + 1] = col[1];
+        img.data[o + 2] = col[2]; img.data[o + 3] = 255;
+      }
+    }
+    const off = document.createElement("canvas");  // no OffscreenCanvas dep
+    off.width = frames; off.height = mels;
+    off.getContext("2d").putImageData(img, 0, 0);
+    ctx.imageSmoothingEnabled = false;
+    ctx.clearRect(0, 0, cv.width, cv.height);
+    ctx.drawImage(off, 0, 0, frames, mels, 0, 0, cv.width, cv.height);
+  }
+  draw();
+  document.querySelectorAll("[data-floor]").forEach(b =>
+    b.addEventListener("click", () => {
+      document.querySelectorAll("[data-floor]").forEach(x => x.classList.remove("on"));
+      b.classList.add("on"); floor = +b.dataset.floor; draw();
+    }));
+  const read = document.getElementById("spec-read");
+  cv.addEventListener("mousemove", e => {
+    const r = cv.getBoundingClientRect();
+    const f = Math.floor((e.clientX - r.left) / r.width * frames);
+    const m = mels - 1 - Math.floor((e.clientY - r.top) / r.height * mels);
+    if (f < 0 || f >= frames || m < 0 || m >= mels) return;
+    const db = ((u8[m * frames + f] / 255) * span - span).toFixed(1);
+    const t = (f * SPEC.hop / SPEC.sr).toFixed(3);
+    read.textContent = `t = ${t} s   mel bin ${m}   ${db} dB (rel max)`;
+  });
+  cv.addEventListener("mouseleave", () => read.innerHTML = "&nbsp;");
+})();
+
+// ---- spectrum: polyline + peak labels, lin/log freq axis, hover ----
+(function () {
+  const svg = document.getElementById("spectrum");
+  const db = SPECTRUM.db, n = SPECTRUM.n, sr = SPECTRUM.sr;
+  const W = 840, H = 280, L = 46, R = 10, T = 10, B = 30;
+  const dbMin = -100, dbMax = Math.ceil(Math.max(...db) / 10) * 10;
+  let mode = "lin";
+  const fOf = i => i * sr / n;
+  const f0log = fOf(1);
+  function xOf(i) {
+    if (mode === "lin") return L + (fOf(i) / (sr / 2)) * (W - L - R);
+    const lo = Math.log10(f0log), hi = Math.log10(sr / 2);
+    return L + (Math.log10(Math.max(fOf(i), f0log)) - lo) / (hi - lo) * (W - L - R);
+  }
+  const yOf = v => T + (dbMax - v) / (dbMax - dbMin) * (H - T - B);
+  function draw() {
+    let s = "";
+    // recessive grid + axis labels
+    for (let g = dbMax; g >= dbMin; g -= 20) {
+      const y = yOf(g);
+      s += `<line x1="${L}" y1="${y}" x2="${W - R}" y2="${y}" stroke="${C.grid}"/>`;
+      s += `<text x="${L - 6}" y="${y + 4}" text-anchor="end" font-size="10" fill="${C.muted}">${g}</text>`;
+    }
+    const ticks = mode === "lin" ? [0, 2000, 4000, 6000, 8000]
+                                 : [100, 300, 1000, 3000, 8000];
+    for (const f of ticks) {
+      const i = Math.round(f * n / sr);
+      const x = xOf(Math.max(i, 1));
+      s += `<text x="${x}" y="${H - 10}" text-anchor="middle" font-size="10" fill="${C.muted}">${f >= 1000 ? (f / 1000) + "k" : f}</text>`;
+    }
+    s += `<text x="${L - 34}" y="${T + 8}" font-size="10" fill="${C.ink2}">dB</text>`;
+    let pts = "";
+    for (let i = 1; i < db.length; i++)
+      pts += `${xOf(i).toFixed(1)},${yOf(Math.max(db[i], dbMin)).toFixed(1)} `;
+    s += `<polyline points="${pts}" fill="none" stroke="${C.blue}" stroke-width="2"/>`;
+    for (const p of SPECTRUM.peaks) {
+      const i = Math.round(p.hz * n / sr);
+      s += `<text x="${xOf(i) + 4}" y="${yOf(p.db) - 4}" font-size="10" fill="${C.ink2}">${p.hz} Hz</text>`;
+    }
+    s += `<rect id="spectrum-hit" x="${L}" y="${T}" width="${W - L - R}" height="${H - T - B}" fill="transparent"/>`;
+    svg.innerHTML = s;
+    hook();
+  }
+  const read = document.getElementById("spectrum-read");
+  function hook() {
+    const hit = document.getElementById("spectrum-hit");
+    hit.addEventListener("mousemove", e => {
+      const r = svg.getBoundingClientRect();
+      const px = (e.clientX - r.left) * (W / r.width);
+      let best = 1, bd = 1e9;
+      for (let i = 1; i < db.length; i++) {
+        const d = Math.abs(xOf(i) - px);
+        if (d < bd) { bd = d; best = i; }
+      }
+      read.textContent = `${Math.round(fOf(best))} Hz   ${db[best].toFixed(1)} dB`;
+    });
+    hit.addEventListener("mouseleave", () => read.innerHTML = "&nbsp;");
+  }
+  document.querySelectorAll("[data-fx]").forEach(b =>
+    b.addEventListener("click", () => {
+      document.querySelectorAll("[data-fx]").forEach(x => x.classList.remove("on"));
+      b.classList.add("on"); mode = b.dataset.fx; draw();
+    }));
+  draw();
+})();
+
+// ---- bench: speedup bars, lin/log toggle, hover, table view ----
+(function () {
+  const sub = document.getElementById("bench-sub");
+  if (!BENCH) {
+    sub.textContent = "No saved bench results found — run python bench.py on a TPU host first, then regenerate.";
+    document.getElementById("bench").style.display = "none";
+    return;
+  }
+  sub.innerHTML = `Saved headline results (<code>benchmarks/results/headline.latest.json</code>, ${BENCH.meta.device}, commit ${BENCH.meta.commit}, ${BENCH.meta.timestamp}): forward+inverse roundtrip throughput, ours vs jnp.fft. Hover a bar for the raw rates.`;
+  document.getElementById("bench-controls").style.display = "flex";
+  const svg = document.getElementById("bench");
+  const rows = BENCH.rows;
+  const W = 840, H = 300, L = 46, R = 10, T = 14, B = 30;
+  let mode = "lin";
+  function draw() {
+    const vmax = Math.max(...rows.map(r => r.x)) * 1.12;
+    const y = v => mode === "lin"
+      ? T + (1 - v / vmax) * (H - T - B)
+      : T + (1 - Math.log10(Math.max(v, 0.5) / 0.5) / Math.log10(vmax / 0.5)) * (H - T - B);
+    let s = "";
+    const gl = mode === "lin"
+      ? Array.from({length: Math.floor(vmax)}, (_, i) => i + 1)
+      : [0.5, 1, 2, 4, 8].filter(v => v <= vmax);
+    for (const g of gl) {
+      s += `<line x1="${L}" y1="${y(g)}" x2="${W - R}" y2="${y(g)}" stroke="${g === 1 ? C.base : C.grid}" stroke-width="${g === 1 ? 1.4 : 0.8}"/>`;
+      s += `<text x="${L - 6}" y="${y(g) + 4}" text-anchor="end" font-size="10" fill="${C.muted}">${g}x</text>`;
+    }
+    s += `<text x="${W - R - 4}" y="${y(1) - 5}" text-anchor="end" font-size="10" fill="${C.muted}">jnp.fft = 1x</text>`;
+    const bw = (W - L - R) / rows.length;
+    rows.forEach((r, i) => {
+      const x = L + i * bw + bw * 0.19;
+      s += `<rect data-i="${i}" x="${x}" y="${y(r.x)}" width="${bw * 0.62}" height="${y(mode === "lin" ? 0 : 0.5) - y(r.x)}" fill="${C.blue}"/>`;
+      s += `<text x="${x + bw * 0.31}" y="${y(r.x) - 4}" text-anchor="middle" font-size="10" fill="${C.ink2}">${r.x.toFixed(2)}x</text>`;
+      s += `<text x="${x + bw * 0.31}" y="${H - 10}" text-anchor="middle" font-size="10" fill="${C.muted}">${r.n}</text>`;
+    });
+    svg.innerHTML = s;
+    svg.querySelectorAll("rect[data-i]").forEach(rect =>
+      rect.addEventListener("mousemove", () => {
+        const r = rows[+rect.dataset.i];
+        document.getElementById("bench-read").textContent =
+          `N=${r.n}: ours ${r.ours.toLocaleString()} ops/s   jnp.fft ${r.jnp.toLocaleString()} ops/s   ${r.x.toFixed(2)}x`;
+      }));
+    svg.addEventListener("mouseleave", () =>
+      document.getElementById("bench-read").innerHTML = "&nbsp;");
+  }
+  document.querySelectorAll("[data-bx]").forEach(b =>
+    b.addEventListener("click", () => {
+      document.querySelectorAll("[data-bx]").forEach(x => x.classList.remove("on"));
+      b.classList.add("on"); mode = b.dataset.bx; draw();
+    }));
+  draw();
+  document.getElementById("bench-table").innerHTML =
+    "<table><tr><th>N</th><th>ours (ops/s)</th><th>jnp.fft (ops/s)</th><th>speedup</th></tr>" +
+    rows.map(r => `<tr><td>${r.n}</td><td>${r.ours.toLocaleString()}</td><td>${r.jnp.toLocaleString()}</td><td>${r.x.toFixed(2)}x</td></tr>`).join("") +
+    "</table>";
+})();
+</script>
 </main></body></html>
 """
 
 
 def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    if "--cpu" in sys.argv:
-        os.environ.setdefault("JAX_PLATFORMS", "cpu")
     out = args[0] if args else os.path.join(REPO, "playground_report.html")
     import jax
+    if "--cpu" in sys.argv:
+        # env JAX_PLATFORMS is overridden by the axon site config; the
+        # post-import config update is the reliable pin (CLAUDE.md)
+        jax.config.update("jax_platforms", "cpu")
     sr = 16000
     sig = synth_signal(sr)
-    spec, meta = spectrogram_png(sig, sr)
-    spectrum, peaks = spectrum_png(sig, sr)
-    bench, bench_rows = bench_chart_png()
-    peak_rows = "".join(f"<tr><td>{f}</td><td>{m}</td></tr>" for f, m in peaks)
-    if bench:
-        bench_sub = ("Latest saved headline results "
-                     "(<code>benchmarks/results/headline.latest.json</code>): "
-                     "forward+inverse roundtrip throughput, ours vs jnp.fft.")
-        rows = "".join(
-            f"<tr><td>{n}</td><td>{o}</td><td>{j}</td><td>{s}</td></tr>"
-            for n, o, j, s in bench_rows)
-        bench_body = (f'<img alt="bar chart: speedup vs jnp.fft per size" '
-                      f'src="data:image/png;base64,{bench}">'
-                      f"<table><tr><th>N</th><th>ours (ops/s)</th>"
-                      f"<th>jnp.fft (ops/s)</th><th>speedup</th></tr>{rows}</table>")
-    else:
-        bench_sub = ("No saved bench results found — run <code>python bench.py"
-                     "</code> on a TPU host first, then regenerate.")
-        bench_body = "<p class='sub'>(benchmark chart omitted)</p>"
-    html = HTML.format(
-        page=PAGE, surface=SURFACE, ink=INK, ink2=INK2, muted=MUTED,
-        grid=GRID, backend=jax.default_backend(), spec=spec,
-        spectrum=spectrum, peak_rows=peak_rows, bench_sub=bench_sub,
-        bench_body=bench_body, **meta)
+    html = HTML
+    for k, v in (("__PAGE__", PAGE), ("__SURFACE__", SURFACE),
+                 ("__INK__", INK), ("__INK2__", INK2), ("__MUTED__", MUTED),
+                 ("__GRID__", GRID), ("__BASELINE__", BASELINE),
+                 ("__BLUE__", BLUE), ("__BACKEND__", jax.default_backend()),
+                 ("__SPEC_JSON__", json.dumps(spectrogram_data(sig, sr))),
+                 ("__SPECTRUM_JSON__", json.dumps(spectrum_data(sig, sr))),
+                 ("__BENCH_JSON__", json.dumps(bench_data())),
+                 ("__RAMP_JSON__", json.dumps(BLUE_RAMP))):
+        html = html.replace(k, v)
     with open(out, "w") as f:
         f.write(html)
     print(f"wrote {out} ({os.path.getsize(out) // 1024} KB)")
