@@ -84,6 +84,37 @@ def main():
                           f"{r.max_rel:>10.2e} {r.rms_rel:>10.2e} "
                           f"{r.quality:>8.2f}")
 
+    if args.dtype == "float32":
+        # bf16 tiers (registered under dtype 'bfloat16'): the interop tier
+        # (bf16 planes, f32 butterflies — I/O-rounding-limited ~4e-3) and
+        # the compute tier (WATFFT_BF16_COMPUTE: bf16 butterflies end-to-end
+        # ~1e-2). Quality is vs bfloat16's own eps (2^-8), so ~flat-with-N
+        # values near 1 mean "as good as the dtype allows". Runs in the f32
+        # subprocess — no x64 interaction.
+        from watfft_tpu import config
+        for surface, kind, inverse in (("complex-forward", "c2c", False),
+                                       ("complex-inverse", "c2c", True)):
+            for e in registry.entries(surface, "bfloat16"):
+                for n in sizes:
+                    if not (e.min_size <= n <= e.max_size):
+                        continue
+                    for tier, flag in ((e.name, False),
+                                       (e.name + "-c", True)):
+                        config.BF16_COMPUTE = flag
+                        try:
+                            r = measure_accuracy(e.make(n), n, "bfloat16",
+                                                 kind=kind, inverse=inverse,
+                                                 surface=tier)
+                        except Exception as ex:
+                            print(f"{surface:<18} {tier:<16} {'bf16':<8} "
+                                  f"{n:>6} ERROR: {str(ex)[:40]}")
+                            continue
+                        finally:
+                            config.BF16_COMPUTE = False
+                        print(f"{surface:<18} {tier:<16} {'bf16':<8} {n:>6} "
+                              f"{r.max_rel:>10.2e} {r.rms_rel:>10.2e} "
+                              f"{r.quality:>8.2f}")
+
 
 if __name__ == "__main__":
     main()

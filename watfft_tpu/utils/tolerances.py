@@ -25,7 +25,11 @@ ROUNDTRIP = {"float32": 1e-4, "float64": 1.5e-10}
 REL_TOL = 1e-9
 ABS_TOL = 1e-8
 
-EPS = {"float32": 2.0 ** -23, "float64": 2.0 ** -52}
+EPS = {"float32": 2.0 ** -23, "float64": 2.0 ** -52,
+       # 8-bit mantissa: quality for the bf16 tiers is measured against
+       # bfloat16's own machine epsilon, so ~1 still means "as good as the
+       # dtype allows" (the tiers are I/O- or compute-rounding-limited).
+       "bfloat16": 2.0 ** -8}
 
 
 def quality(max_rel: float, n: int, dtype: str) -> float:
