@@ -96,10 +96,22 @@ class ChainTimer:
     def calibrate(self, r1: int = 32, r2: int = 160,
                   target_s: float = 0.06) -> None:
         """Warm both lengths (compile), pilot-estimate the slope, then
-        lengthen the long chain until its device work (slope*r2) dominates
-        the multi-ms round-trip jitter (round-2 small-N fix)."""
-        self.timed(r1)
-        pilot = (self.timed(r2) - self.timed(r1)) / (r2 - r1)
+        lengthen the long chain until its device work (slope*(r2-r1))
+        dominates the multi-ms round-trip jitter (round-2 small-N fix).
+
+        Round-4 fix (the n=512 "bimodality"): the pilot was previously
+        computed from the FIRST timed(r2) call, which includes that chain
+        length's jit COMPILE — the inflated pilot made `want` tiny, the
+        doubling loop never ran, and fast kernels were left measuring a
+        ~7 ms work delta against ~26 ms RPC jitter (snapshot cv 0.57-0.64,
+        per-rep spread 4-10x at n=512/4096; tools/probe_bimodal.py). Both
+        lengths are now compiled/warmed BEFORE the pilot measurement, and
+        the pilot uses min-of-2 (tunnel delays are one-sided)."""
+        self.timed(r1)  # compile r1
+        self.timed(r2)  # compile r2 — throwaway, never feeds the pilot
+        t1 = min(self.timed(r1), self.timed(r1))
+        t2 = min(self.timed(r2), self.timed(r2))
+        pilot = (t2 - t1) / (r2 - r1)
         if pilot > 0:
             want = int(target_s / pilot)
             while r2 < want and r2 < 16384:
