@@ -33,14 +33,17 @@ def test_small_dft_network_is_exact(r, inverse):
         np.testing.assert_allclose(got, expected, atol=3e-7)
 
 
-@pytest.mark.parametrize("n", [64, 256, 1024, 4096])
+@pytest.mark.parametrize("n,three_d", [(64, False), (256, False),
+                                       (512, True), (1024, False),
+                                       (4096, False)])
 @pytest.mark.parametrize("inverse", [False, True])
-def test_twiddle_pack_values(n, inverse):
+def test_twiddle_pack_values(n, three_d, inverse):
     """Every packed column entry equals scale * w_{R*l}^{p*(row mod l)}
-    computed in f64."""
+    computed in f64. (512, three_d=True) pins the DMA-3D layout's own plan
+    table (_PLAN_OVERRIDES_3D, Exp 46)."""
     sign = +1.0 if inverse else -1.0
-    re, im, offsets = make_twiddle_pack(n, inverse)
-    stages = stage_plan(n)
+    re, im, offsets = make_twiddle_pack(n, inverse, three_d)
+    stages = stage_plan(n, three_d)
     got = re.ravel() + 1j * im.ravel()
     for idx, (r, l) in enumerate(stages):
         if offsets[idx] < 0:
@@ -57,9 +60,10 @@ def test_twiddle_pack_values(n, inverse):
 
 
 def test_stage_plans_multiply_out():
-    for n in [2, 8, 16, 64, 512, 4096, 1 << 14]:
-        prod = 1
-        for r, l in stage_plan(n):
-            assert l == prod, f"stage l mismatch at n={n}"
-            prod *= r
-        assert prod == n
+    for three_d in (False, True):
+        for n in [2, 8, 16, 64, 512, 4096, 1 << 14]:
+            prod = 1
+            for r, l in stage_plan(n, three_d):
+                assert l == prod, f"stage l mismatch at n={n}"
+                prod *= r
+            assert prod == n

@@ -36,28 +36,35 @@ def trace_stage(rows: np.ndarray, r: int, l: int) -> np.ndarray:
 
 
 def validate(n: int) -> bool:
-    rows = np.arange(n)
-    seen_plans = stage_plan(n)
-    cur = rows
-    for idx, (r, l) in enumerate(seen_plans):
-        cur = trace_stage(cur, r, l)
-        u = np.unique(cur)
-        if len(u) != n:
-            print(f"n={n} stage {idx} (R={r}, l={l}): NOT a permutation "
-                  f"({n - len(u)} rows written more than once)")
-            return False
-    # Stockham autosort: composing all stage permutes on index rows must give
-    # the identity-ordered digit mapping; verify via a value-level check that
-    # the butterfly-free trace equals the multi-radix digit reversal that the
-    # arithmetic is built against (i.e. the permutation is consistent, which
-    # the arithmetic tests then pin to correct FFT output).
-    print(f"n={n}: {len(seen_plans)} stages, every row written exactly once; "
-          f"composed permutation fixes row 0 -> {int(np.where(cur == 0)[0][0])}")
+    # Both layout tables: the 2D plan and, where it differs, the rank-3
+    # DMA-3D plan (_PLAN_OVERRIDES_3D, Exp 46).
+    plans = {"2d": stage_plan(n)}
+    plan3 = stage_plan(n, three_d=True)
+    if plan3 != plans["2d"]:
+        plans["3d"] = plan3
+    for label, seen_plans in plans.items():
+        cur = np.arange(n)
+        for idx, (r, l) in enumerate(seen_plans):
+            cur = trace_stage(cur, r, l)
+            u = np.unique(cur)
+            if len(u) != n:
+                print(f"n={n} [{label}] stage {idx} (R={r}, l={l}): NOT a "
+                      f"permutation ({n - len(u)} rows written more than once)")
+                return False
+        # Stockham autosort: composing all stage permutes on index rows must
+        # give the identity-ordered digit mapping; verify via a value-level
+        # check that the butterfly-free trace equals the multi-radix digit
+        # reversal that the arithmetic is built against (i.e. the permutation
+        # is consistent, which the arithmetic tests then pin to correct FFT
+        # output).
+        print(f"n={n} [{label}]: {len(seen_plans)} stages, every row written "
+              f"exactly once; composed permutation fixes row 0 -> "
+              f"{int(np.where(cur == 0)[0][0])}")
     return True
 
 
 def main():
-    sizes = [int(s) for s in sys.argv[1:]] or [16, 64, 256, 1024, 4096]
+    sizes = [int(s) for s in sys.argv[1:]] or [16, 64, 256, 512, 1024, 4096]
     ok = all(validate(n) for n in sizes)
     sys.exit(0 if ok else 1)
 

@@ -44,7 +44,7 @@ TOTAL = 1 << 21
 def _call2d(xre, xim, twre, twim, n, inverse, tile_b, stages, offsets):
     b = xre.shape[-1]
     kernel = functools.partial(_kernel, n, inverse, list(offsets),
-                               list(stages), False)
+                               list(stages), False, False)
     grid = (b // tile_b,)
     block = pl.BlockSpec((n, tile_b), lambda i: (0, i), memory_space=pltpu.VMEM)
     twspec = pl.BlockSpec(twre.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)

@@ -165,8 +165,8 @@ def _irfft_core_kernel_dma3d(n, offsets, stages,
 def _rfft_core_call_dma3d(x, twre, twim, n, w_tile, interpret=False):
     m = n // 2
     W = x.shape[-1]
-    stages = tuple(stage_plan(m))
-    offsets = make_twiddle_pack(m, False)[2]
+    stages = tuple(stage_plan(m, three_d=True))
+    offsets = make_twiddle_pack(m, False, three_d=True)[2]
     kernel = functools.partial(_rfft_core_kernel_dma3d, n, offsets, stages)
     grid = (W // w_tile,)
     xblock = pl.BlockSpec((n, 8, w_tile), lambda i: (0, 0, i),
@@ -191,8 +191,8 @@ def _rfft_core_call_dma3d(x, twre, twim, n, w_tile, interpret=False):
 def _irfft_core_call_dma3d(zre, zim, twre, twim, n, w_tile, interpret=False):
     m = n // 2
     W = zre.shape[-1]
-    stages = tuple(stage_plan(m))
-    offsets = make_twiddle_pack(m, True)[2]
+    stages = tuple(stage_plan(m, three_d=True))
+    offsets = make_twiddle_pack(m, True, three_d=True)[2]
     kernel = functools.partial(_irfft_core_kernel_dma3d, n, offsets, stages)
     grid = (W // w_tile,)
     zblock = pl.BlockSpec((m, 8, w_tile), lambda i: (0, 0, i),
@@ -286,7 +286,7 @@ def _rfft_impl(x):
         if W % 128 != 0:
             raise ValueError(f"W (last axis) must be a multiple of 128, got {W}")
         w_tile = 256 if (m <= 128 and W % 256 == 0) else 128
-        sre, sim = _TwCache.get(m, False)
+        sre, sim = _TwCache.get(m, False, three_d=True)
         interpret = config.FORCE_INTERPRET or jax.default_backend() != "tpu"
         zre, zim = _rfft_core_call_dma3d(x, jnp.asarray(sre), jnp.asarray(sim),
                                          n, w_tile, interpret=interpret)
@@ -649,7 +649,7 @@ def _irfft_impl(xre, xim):
         if W % 128 != 0:
             raise ValueError(f"W (last axis) must be a multiple of 128, got {W}")
         zre, zim = hermitian_pre_nb(xre, xim, n)
-        sre, sim = _TwCache.get(m, True)
+        sre, sim = _TwCache.get(m, True, three_d=True)
         w_tile = 256 if (m <= 128 and W % 256 == 0) else 128
         interpret = config.FORCE_INTERPRET or jax.default_backend() != "tpu"
         return _irfft_core_call_dma3d(zre, zim, jnp.asarray(sre),

@@ -62,15 +62,27 @@ _PLAN_OVERRIDES: dict[int, tuple[int, ...]] = {
     8192: (32, 16, 16),
 }
 
+# Layout-conditional overrides for the rank-3 DMA-3D kernels (Exp 46): plan
+# economics differ per layout because interleave passes relayout different
+# minors. At n=512 the two-stage 16*32 plan wins 1.18x paired on the 3D
+# layout (47.2 vs 54.7us roundtrip) but LOSES 0.94x on the 2D layout
+# (77.4 vs 72.9us), so the override applies only when three_d is set.
+_PLAN_OVERRIDES_3D: dict[int, tuple[int, ...]] = {
+    512: (16, 32),
+}
 
-def stage_plan(n: int) -> list[tuple[int, int]]:
+
+def stage_plan(n: int, three_d: bool = False) -> list[tuple[int, int]]:
     """Stage sequence as (R, l) pairs. Default rule: radix-16 stages plus one
     {2,4,8} remainder stage — radix-8 leads (twiddle-free, pad-free at l=1,
     Exp 15); radix-2/4 sit at position 1 (l=16) so their interleave views
     keep a >=8-sized second-minor dim. Per-size measured overrides with
     radix-32/64 stages where they won paired on-chip (_PLAN_OVERRIDES,
-    Exp 39)."""
-    if n in _PLAN_OVERRIDES:
+    Exp 39); three_d selects the rank-3 DMA-3D kernels' table
+    (_PLAN_OVERRIDES_3D, Exp 46) where plan economics differ per layout."""
+    if three_d and n in _PLAN_OVERRIDES_3D:
+        radices = list(_PLAN_OVERRIDES_3D[n])
+    elif n in _PLAN_OVERRIDES:
         radices = list(_PLAN_OVERRIDES[n])
     else:
         m = n.bit_length() - 1
@@ -99,16 +111,17 @@ def stage_plan(n: int) -> list[tuple[int, int]]:
     return stages
 
 
-def make_twiddle_pack(n: int, inverse: bool) -> tuple[np.ndarray, np.ndarray, list[int]]:
+def make_twiddle_pack(n: int, inverse: bool,
+                      three_d: bool = False) -> tuple[np.ndarray, np.ndarray, list[int]]:
     """Pack per-stage twiddle columns w_{R*l}^{p*(row mod l)}, p=1..R-1, into
     [total, 1] f32 planes (f64 host math, phases reduced mod R*l). offsets[i]
     = row offset of stage i's block ((R-1)*(n/R) rows); -1 for the
     twiddle-free l==1 stage. The final stage carries the folded 1/n for the
-    inverse."""
+    inverse. three_d follows stage_plan's layout-conditional table."""
     sign = +1.0 if inverse else -1.0
     res, ims, offsets = [], [], []
     off = 0
-    stages = stage_plan(n)
+    stages = stage_plan(n, three_d)
     for idx, (r, l) in enumerate(stages):
         if l == 1:
             offsets.append(-1)
@@ -358,8 +371,8 @@ def _stockham_call_dma3d(xre, xim, twre, twim, n, inverse, w_tile,
                          interpret=False):
     # xre: [n, 8, W] (host view of [n, b], W = b/8)
     W = xre.shape[-1]
-    stages = tuple(stage_plan(n))
-    offsets = make_twiddle_pack(n, inverse)[2]
+    stages = tuple(stage_plan(n, three_d=True))
+    offsets = make_twiddle_pack(n, inverse, three_d=True)[2]
     kernel = functools.partial(_kernel_dma3d, n, inverse, offsets, stages)
     grid = (W // w_tile,)
     block = pl.BlockSpec((n, 8, w_tile), lambda i: (0, 0, i),
@@ -499,10 +512,10 @@ class _TwCache:
     _cache: dict = {}
 
     @classmethod
-    def get(cls, n, inverse):
-        key = (n, inverse)
+    def get(cls, n, inverse, three_d=False):
+        key = (n, inverse, three_d)
         if key not in cls._cache:
-            re, im, _ = make_twiddle_pack(n, inverse)
+            re, im, _ = make_twiddle_pack(n, inverse, three_d)
             cls._cache[key] = (re, im)
         return cls._cache[key]
 
@@ -550,7 +563,7 @@ def _stockham_impl(xre, xim, inverse: bool):
         # Exp 28 probe: n<=128 prefers w_tile 256 (35.7 vs 37.2us at 128);
         # n=256 prefers 128 (46.5 vs 52.0us)
         w_tile = 256 if (n <= 128 and w % 256 == 0) else 128
-        twre, twim = _TwCache.get(n, inverse)
+        twre, twim = _TwCache.get(n, inverse, three_d=True)
         return _stockham_call_dma3d(xre, xim, twre, twim, n, inverse, w_tile,
                                     interpret=interpret)
     n, b = xre.shape[-2], xre.shape[-1]
