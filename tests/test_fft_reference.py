@@ -44,7 +44,7 @@ def test_complex_forward(n, dtype):
 
 
 @pytest.mark.parametrize("dtype", ["float32", "float64"])
-@pytest.mark.parametrize("n", SIZES)
+@pytest.mark.parametrize("n", SIZES + SIZES_LARGE)
 def test_complex_inverse(n, dtype):
     x = _signal_batch(n)
     expected = ref.idft(x)
@@ -66,7 +66,7 @@ def test_real_forward(n, dtype):
 
 
 @pytest.mark.parametrize("dtype", ["float32", "float64"])
-@pytest.mark.parametrize("n", SIZES[1:])
+@pytest.mark.parametrize("n", SIZES[1:] + SIZES_LARGE)
 def test_real_inverse(n, dtype):
     x = _real_signal_batch(n)
     spec = ref.real_dft(x)
