@@ -44,12 +44,38 @@ from tools.probe_real4096e import _deint_matrix
 
 
 def _dot(prec):
+    if prec == "bf16x3":
+        return _dot3
     return functools.partial(
         jax.lax.dot_general,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
         precision=prec,
     )
+
+
+_DOT_DEFAULT = functools.partial(
+    jax.lax.dot_general,
+    dimension_numbers=(((1,), (0,)), ((), ())),
+    preferred_element_type=jnp.float32,
+    precision=jax.lax.Precision.DEFAULT,
+)
+
+
+def _dot3(dm, x):
+    """Exact 0/1-selection dot in 3 single-pass bf16 dots (Mosaic lowers
+    only DEFAULT/HIGHEST in-kernel; HIGHEST is 6 passes). The matrix is
+    exact in bf16; the data splits exactly into 3 bf16 parts (8+8+8 >= 24
+    mantissa bits), and each one-hot row sums the parts of ONE element in
+    the f32 accumulator — exact."""
+    db = dm.astype(jnp.bfloat16)
+    xh = x.astype(jnp.bfloat16)
+    r1 = x - xh.astype(jnp.float32)
+    xm = r1.astype(jnp.bfloat16)
+    xl = (r1 - xm.astype(jnp.float32)).astype(jnp.bfloat16)
+    acc = _DOT_DEFAULT(db, xh)
+    acc = acc + _DOT_DEFAULT(db, xm)
+    return acc + _DOT_DEFAULT(db, xl)
 
 
 def _split(method, x, n, dm, dot):
@@ -162,10 +188,7 @@ def make_fused(n, tile_b, prec, rows_pad, interpret):
     off_i = make_twiddle_pack(m, True)[2]
     dot = _dot(prec)
     dm = _deint_matrix(128)
-    mirror = functools.partial(
-        jax.lax.dot_general,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=prec)
+    mirror = dot  # the mirror matrix is 0/1 too — same exact-dot applies
 
     def mirror_rows(z, jblk, extra_row0=None):
         mm, _ = z.shape
@@ -201,7 +224,11 @@ def make_fused(n, tile_b, prec, rows_pad, interpret):
         oim_ref[0:m, :] = eim + wr * oim + wi * ore
         ny = zre[0:1] - zim[0:1]
         zpad = jnp.zeros((rows_pad, b), x_ref.dtype)
-        ore_ref[m:mr, :] = jnp.concatenate([ny, zpad[1:]], axis=0)
+        if rows_pad == 1:
+            ore_ref[m:mr, :] = ny
+        else:
+            ore_ref[m:mr, :] = jnp.concatenate(
+                [ny, jnp.zeros((rows_pad - 1, b), x_ref.dtype)], axis=0)
         oim_ref[m:mr, :] = zpad
 
     def ki(xre_ref, xim_ref, twre_ref, twim_ref, wre_ref, wim_ref, jm_ref,
@@ -318,25 +345,24 @@ def main():
         return _call2d(a, bb, ire, iim, m, True, tile_b, plan, ioff)
 
     H = jax.lax.Precision.HIGHEST
-    HI = jax.lax.Precision.HIGH
-    fusedHI, fusedHI_fwd = make_fused(n, tile_b, HI, 1, interp)
-    fusedHI8, _ = make_fused(n, tile_b, HI, 8, interp)
+    fused3, fused3_fwd = make_fused(n, tile_b, "bf16x3", 1, interp)
+    fused38, _ = make_fused(n, tile_b, "bf16x3", 8, interp)
     chains = {
         "A bare": (bare, (cre, cim)),
         "B bigblk-contig": (make_bigblk(n, tile_b, "contig", H, interp), x),
         "C bigblk-parity": (make_bigblk(n, tile_b, "parity", H, interp), x),
         "D bigblk-mxuHST": (make_bigblk(n, tile_b, "mxu", H, interp), x),
-        "E bigblk-mxuHI": (make_bigblk(n, tile_b, "mxu", HI, interp), x),
-        "F fused-mxuHI": (fusedHI, x),
-        "G fused-mxuHI8": (fusedHI8, x),
+        "E bigblk-mxu3": (make_bigblk(n, tile_b, "mxu", "bf16x3", interp), x),
+        "F fused-mxu3": (fused3, x),
+        "G fused-mxu3p8": (fused38, x),
     }
 
     # correctness: F forward vs numpy; all x-carry roundtrips = identity
-    sre, sim = fusedHI_fwd(x)
+    sre, sim = fused3_fwd(x)
     ref = np.fft.rfft(xh.astype(np.float64), axis=0)
     errf = max(np.abs(np.asarray(sre)[:m + 1] - ref.real).max(),
                np.abs(np.asarray(sim)[:m + 1] - ref.imag).max()) / np.abs(ref).max()
-    print(f"  fused-mxuHI fwd vs numpy: {errf:.2e}", flush=True)
+    print(f"  fused-mxu3 fwd vs numpy: {errf:.2e}", flush=True)
     assert errf < 1e-5
     for k, (f, args) in chains.items():
         if k == "A bare":
