@@ -157,3 +157,60 @@ def test_fused_mirror_lane_concat(n, monkeypatch):
     expected = np.fft.rfft(np.asarray(x, np.float64), axis=0)
     got = np.asarray(re1) + 1j * np.asarray(im1)
     assert np.max(np.abs(got - expected)) / np.max(np.abs(expected)) < 5e-6
+
+
+@pytest.mark.parametrize("n", [16, 128, 512, 2048])
+def test_mxu_select_real_path(n, monkeypatch):
+    """Exp 47: the MXU selection-dot deinterleave/reinterleave (blocked
+    0/1 matmuls; exact 3-pass bf16x3 on chip, HIGHEST under interpret)
+    must match the parity-view select on both the hybrid cores and the
+    fused kernels, both directions."""
+    import jax.numpy as jnp
+    from watfft_tpu import config
+    from watfft_tpu.ops import pallas_rfft as pr
+    rng = ref.seeded_rng(n)
+    m = n // 2
+    x = jnp.asarray(rng.uniform(-1, 1, (n, 128)).astype(np.float32))
+    sre = jnp.asarray(rng.uniform(-1, 1, (m + 1, 128)).astype(np.float32))
+    sim = jnp.asarray(rng.uniform(-1, 1, (m + 1, 128)).astype(np.float32))
+    outs = {}
+    for sel in (False, True):
+        sizes = frozenset({n}) if sel else frozenset()
+        monkeypatch.setattr(config, "RFFT_MXU_SELECT_FWD_SIZES", sizes)
+        monkeypatch.setattr(config, "RFFT_MXU_SELECT_INV_SIZES", sizes)
+        outs[sel] = (*pr._rfft_impl(x), pr._irfft_impl(sre, sim),
+                     *pr._rfft_fused_impl(x),
+                     pr._irfft_fused_impl(sre, sim))
+    for a, b in zip(outs[False], outs[True]):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-5)
+    expected = np.fft.rfft(np.asarray(x, np.float64), axis=0)
+    got = np.asarray(outs[True][0]) + 1j * np.asarray(outs[True][1])
+    assert np.max(np.abs(got - expected)) / np.max(np.abs(expected)) < 5e-6
+
+
+def test_mxu_select_dots_exact():
+    """The selection dots themselves are bit-exact against the strided
+    select / stack merge (both the compiled bf16x3 form and the
+    interpret-mode HIGHEST form -- the bf16x3 split summed hi->mid->lo
+    reconstructs every f32 bit pattern)."""
+    import jax
+    import jax.numpy as jnp
+    from watfft_tpu.ops import pallas_rfft as pr
+    rng = ref.seeded_rng(47)
+    for m, scale in ((64, 1.0), (128, 3.7e3), (1024, 1e-6)):
+        n = 2 * m
+        b = 128
+        zre = jnp.asarray(rng.uniform(-1, 1, (m, b)).astype(np.float32)) * scale
+        zim = jnp.asarray(rng.uniform(-1, 1, (m, b)).astype(np.float32))
+        x = jnp.asarray(rng.standard_normal((n, b)).astype(np.float32)) * scale
+        dm = jnp.asarray(pr._DCache.get(min(128, n)))
+        dmt = jnp.asarray(pr._DCache.get(min(128, n), transpose=True))
+        want_i = np.asarray(jnp.stack([zre, zim], axis=1).reshape(n, b))
+        want_e = np.asarray(x).reshape(m, 2, b)
+        for dot in (pr._sel_dot, pr._sel_dot_exact):
+            got_i = np.asarray(jax.jit(pr._mxu_reint, static_argnums=3)(
+                zre, zim, dmt, dot))
+            de, do = jax.jit(pr._mxu_deint, static_argnums=2)(x, dm, dot)
+            assert (got_i == want_i).all(), (m, dot)
+            assert (np.asarray(de) == want_e[:, 0]).all(), (m, dot)
+            assert (np.asarray(do) == want_e[:, 1]).all(), (m, dot)

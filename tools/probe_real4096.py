@@ -55,8 +55,8 @@ def main():
     ire, iim = (jnp.asarray(a) for a in _TwCache.get(m, True))
 
     def core_round(c):
-        zre, zim = pr._rfft_core_call(c, fre, fim, n, tile_b)
-        return pr._irfft_core_call(zre, zim, ire, iim, n, tile_b)
+        zre, zim = pr._rfft_core_call(c, fre, fim, None, n, tile_b)
+        return pr._irfft_core_call(zre, zim, ire, iim, None, n, tile_b)
 
     def hyb_round(c):
         re, im = pr._rfft_impl(c)

@@ -72,8 +72,8 @@ def main():
         return _call2d(a, bb, qre, qim, m, True, tile_b, plan, qoff)
 
     def cores(c):
-        zre, zim = pr._rfft_core_call(c, fre, fim, n, tile_b)
-        return pr._irfft_core_call(zre, zim, ire, iim, n, tile_b)
+        zre, zim = pr._rfft_core_call(c, fre, fim, None, n, tile_b)
+        return pr._irfft_core_call(zre, zim, ire, iim, None, n, tile_b)
 
     def hyb(c):
         re_, im_ = pr._rfft_impl(c)

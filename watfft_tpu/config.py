@@ -138,6 +138,21 @@ BF16_COMPUTE = os.environ.get(
 RFFT_MIRROR_LC_SIZES = frozenset(
     int(s) for s in os.environ.get(
         "WATFFT_RFFT_MIRROR_LC_SIZES", "").split(",") if s)
+# MXU selection dots for the 2D real path's deinterleave (forward) /
+# reinterleave (inverse) — Exp 47: Mosaic lowers the [m, 2, b] parity view
+# as per-row sublane selects, costing 3.53x the whole m=2048 core at
+# [4096, 512]; blocked 0/1 matmuls in the exact 3-pass bf16x3 form cut the
+# roundtrip tax to 1.51x (tools/probe_real4096f.py). The result is
+# bit-identical to the parity select (see _sel_dot). Per-size, PER-DIRECTION
+# tables measured on chip (tools/probe_rsel.py); only the 2D [n, batch]
+# layout consults them — the 3D native layout's split rides a major dim
+# for free.
+RFFT_MXU_SELECT_FWD_SIZES = frozenset(
+    int(s) for s in os.environ.get(
+        "WATFFT_RFFT_MXU_SELECT_FWD_SIZES", "").split(",") if s)
+RFFT_MXU_SELECT_INV_SIZES = frozenset(
+    int(s) for s in os.environ.get(
+        "WATFFT_RFFT_MXU_SELECT_INV_SIZES", "").split(",") if s)
 FORCE_INTERPRET = os.environ.get("WATFFT_INTERPRET", "") not in ("", "0", "false")
 
 

@@ -43,19 +43,140 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ["rfft_nb", "irfft_nb"]
 
 
-# -- partial-fusion core kernels (Exp 13) ------------------------------------
-# Forward: deinterleave ([m, 2, b] view) + m-point stages in ONE kernel
-# (saves the separate XLA deinterleave pass); inverse: stages + row
-# interleave in one kernel. The Hermitian mirror stays in XLA (Exp 8: the
-# in-kernel mirror walk loses to XLA's native rev).
+# -- exact MXU selection dots (Exp 47) ----------------------------------------
+# Mosaic lowers the [m, 2, b] parity view as per-row sublane selects; at
+# [4096, 512] the select + stack-reinterleave cost 3.53x the ENTIRE m=2048
+# core arithmetic (tools/probe_real4096f.py, chained on chip). Running the
+# same permutation as blocked 0/1 matmuls on the MXU cuts the roundtrip tax
+# to 1.51x. Precision: Mosaic lowers only DEFAULT (1 bf16 pass, inexact for
+# f32 data) and HIGHEST (6 passes) in-kernel — but a 0/1 selection dot is
+# EXACT in 3 single-pass bf16 dots: the matrix is exact in bf16, the f32
+# datum splits exactly into 3 bf16 parts (8+8+8 >= 24 mantissa bits, each
+# residual representable), and the one-hot row sums one element's parts in
+# the f32 accumulator, where every partial sum is a bit-truncation of the
+# original f32 value (non-overlapping mantissa ranges) — so the result is
+# bit-identical to the parity select. Measured: 6-pass HIGHEST selection
+# 79.0us vs bf16x3 61.8us vs parity 144.0us per [4096, 512] roundtrip.
 
-def _rfft_core_kernel(n, offsets, stages, use3d,
-                      x_ref, twre_ref, twim_ref, zre_ref, zim_ref):
+_SEL_DOT_1P = functools.partial(
+    jax.lax.dot_general,
+    dimension_numbers=(((1,), (0,)), ((), ())),
+    preferred_element_type=jnp.float32,
+    precision=jax.lax.Precision.DEFAULT,
+)
+
+
+def _sel_dot(dm, x):
+    """Exact selection dot for a 0/1 matrix `dm` (f32) against data rows
+    `x` (f32 or bf16). See the Exp 47 block comment above. ONLY safe
+    inside a compiled Mosaic kernel: in interpret mode the kernel body is
+    XLA ops, and XLA's algebraic simplifier factors the three dots into
+    dot(D, xh + xm + xl) with bf16 adds — collapsing the split to a lossy
+    single bf16 pass (~1e-3, seen on the axon backend). Interpret-mode
+    callers must use _sel_dot_exact instead."""
+    if x.dtype == jnp.bfloat16:  # bf16 data is exact in one bf16 pass
+        return _SEL_DOT_1P(dm.astype(jnp.bfloat16), x).astype(x.dtype)
+    db = dm.astype(jnp.bfloat16)
+    xh = x.astype(jnp.bfloat16)
+    r1 = x - xh.astype(jnp.float32)
+    xm = r1.astype(jnp.bfloat16)
+    xl = (r1 - xm.astype(jnp.float32)).astype(jnp.bfloat16)
+    return _SEL_DOT_1P(db, xh) + _SEL_DOT_1P(db, xm) + _SEL_DOT_1P(db, xl)
+
+
+_SEL_DOT_HST = functools.partial(
+    jax.lax.dot_general,
+    dimension_numbers=(((1,), (0,)), ((), ())),
+    preferred_element_type=jnp.float32,
+    precision=jax.lax.Precision.HIGHEST,
+)
+
+
+def _sel_dot_exact(dm, x):
+    """Interpret-mode selection dot: plain HIGHEST f32 (exact for 0/1
+    matrices, and immune to the XLA refactoring that breaks bf16x3
+    outside Mosaic)."""
+    return _SEL_DOT_HST(dm, x.astype(jnp.float32)).astype(x.dtype)
+
+
+def _deint_matrix(g: int) -> np.ndarray:
+    """[g, g] 0/1: row t (t < g/2) selects input row 2t (even -> re half);
+    row g/2 + t selects input row 2t + 1 (odd -> im half)."""
+    d = np.zeros((g, g), np.float32)
+    h = g // 2
+    t = np.arange(h)
+    d[t, 2 * t] = 1.0
+    d[h + t, 2 * t + 1] = 1.0
+    return d
+
+
+class _DCache:
+    """Host (numpy) deinterleave/reinterleave selection matrices
+    ([g, g], g = min(128, n)); device arrays must never be cached."""
+
+    _c: dict = {}
+
+    @classmethod
+    def get(cls, g: int, transpose: bool = False) -> np.ndarray:
+        key = (g, transpose)
+        if key not in cls._c:
+            d = _deint_matrix(g)
+            cls._c[key] = np.ascontiguousarray(d.T) if transpose else d
+        return cls._c[key]
+
+
+def _mxu_deint(x, dm, dot=_sel_dot):
+    """[n, b] interleaved rows -> ([m, b] even, [m, b] odd) via one
+    selection dot per g-row block (g = dm rows)."""
+    n = x.shape[0]
+    g = dm.shape[0]
+    h = g // 2
+    res, ims = [], []
+    for p in range(n // g):
+        blk = dot(dm, x[p * g:(p + 1) * g])
+        res.append(blk[:h])
+        ims.append(blk[h:])
+    if len(res) == 1:
+        return res[0], ims[0]
+    return jnp.concatenate(res, axis=0), jnp.concatenate(ims, axis=0)
+
+
+def _mxu_reint(zre, zim, dmt, dot=_sel_dot):
+    """([m, b], [m, b]) -> [n, b] interleaved rows: the transpose of
+    _mxu_deint, one dot per output g-row block."""
+    m = zre.shape[0]
+    g = dmt.shape[0]
+    h = g // 2
+    parts = []
+    for p in range(m // h):
+        pair = jnp.concatenate([zre[p * h:(p + 1) * h],
+                                zim[p * h:(p + 1) * h]], axis=0)
+        parts.append(dot(dmt, pair))
+    if len(parts) == 1:
+        return parts[0]
+    return jnp.concatenate(parts, axis=0)
+
+
+# -- partial-fusion core kernels (Exp 13) ------------------------------------
+# Forward: deinterleave ([m, 2, b] view or MXU selection dots, per the
+# Exp 47 size table) + m-point stages in ONE kernel (saves the separate XLA
+# deinterleave pass); inverse: stages + row interleave in one kernel. The
+# Hermitian mirror stays in XLA (Exp 8: the in-kernel mirror walk loses to
+# XLA's native rev).
+
+def _rfft_core_kernel(n, offsets, stages, use3d, mxu_sel, sdot, *refs):
+    if mxu_sel:
+        x_ref, twre_ref, twim_ref, dm_ref, zre_ref, zim_ref = refs
+    else:
+        x_ref, twre_ref, twim_ref, zre_ref, zim_ref = refs
     m = n // 2
     b = x_ref.shape[-1]
-    xv = x_ref[:].reshape(m, 2, b)
-    zre = xv[:, 0, :]
-    zim = xv[:, 1, :]
+    if mxu_sel:
+        zre, zim = _mxu_deint(x_ref[:], dm_ref[:], dot=sdot)
+    else:
+        xv = x_ref[:].reshape(m, 2, b)
+        zre = xv[:, 0, :]
+        zim = xv[:, 1, :]
     if use3d:
         w = b // 8
         zre = zre.reshape(m, 8, w)
@@ -69,8 +190,11 @@ def _rfft_core_kernel(n, offsets, stages, use3d,
     zim_ref[:] = zim
 
 
-def _irfft_core_kernel(n, offsets, stages, use3d,
-                       zre_ref, zim_ref, twre_ref, twim_ref, o_ref):
+def _irfft_core_kernel(n, offsets, stages, use3d, mxu_sel, sdot, *refs):
+    if mxu_sel:
+        zre_ref, zim_ref, twre_ref, twim_ref, dmt_ref, o_ref = refs
+    else:
+        zre_ref, zim_ref, twre_ref, twim_ref, o_ref = refs
     m = n // 2
     b = zre_ref.shape[-1]
     zre = zre_ref[:]
@@ -84,56 +208,81 @@ def _irfft_core_kernel(n, offsets, stages, use3d,
     if use3d:
         zre = zre.reshape(m, -1)
         zim = zim.reshape(m, -1)
-    o_ref[:] = jnp.stack([zre, zim], axis=1).reshape(n, b)
+    if mxu_sel:
+        o_ref[:] = _mxu_reint(zre, zim, dmt_ref[:], dot=sdot)
+    else:
+        o_ref[:] = jnp.stack([zre, zim], axis=1).reshape(n, b)
 
 
-@functools.partial(jax.jit, static_argnames=("n", "tile_b", "interpret"))
-def _rfft_core_call(x, twre, twim, n, tile_b, interpret=False):
+@functools.partial(jax.jit,
+                   static_argnames=("n", "tile_b", "interpret", "mxu_sel"))
+def _rfft_core_call(x, twre, twim, dm, n, tile_b, interpret=False,
+                    mxu_sel=False):
     m = n // 2
     b = x.shape[-1]
     stages = tuple(stage_plan(m))
     offsets = make_twiddle_pack(m, False)[2]
-    use3d = m <= config.USE3D_MAX_N and tile_b >= 1024 and tile_b % 8 == 0
-    kernel = functools.partial(_rfft_core_kernel, n, offsets, stages, use3d)
+    use3d = (m <= config.USE3D_MAX_N and tile_b >= 1024 and tile_b % 8 == 0
+             and not mxu_sel)
+    sdot = _sel_dot_exact if interpret else _sel_dot
+    kernel = functools.partial(_rfft_core_kernel, n, offsets, stages, use3d,
+                               mxu_sel, sdot)
     grid = (b // tile_b,)
     xblock = pl.BlockSpec((n, tile_b), lambda i: (0, i), memory_space=pltpu.VMEM)
     zblock = pl.BlockSpec((m, tile_b), lambda i: (0, i), memory_space=pltpu.VMEM)
     twspec = pl.BlockSpec(twre.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
     zshape = jax.ShapeDtypeStruct((m, b), x.dtype)
+    in_specs = [xblock, twspec, twspec]
+    operands = [x, twre, twim]
+    if mxu_sel:
+        in_specs.append(pl.BlockSpec(dm.shape, lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        operands.append(dm)
     return pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[xblock, twspec, twspec],
+        in_specs=in_specs,
         out_specs=[zblock, zblock],
         out_shape=[zshape, zshape],
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=config.VMEM_LIMIT_BYTES),
         interpret=interpret,
-    )(x, twre, twim)
+    )(*operands)
 
 
-@functools.partial(jax.jit, static_argnames=("n", "tile_b", "interpret"))
-def _irfft_core_call(zre, zim, twre, twim, n, tile_b, interpret=False):
+@functools.partial(jax.jit,
+                   static_argnames=("n", "tile_b", "interpret", "mxu_sel"))
+def _irfft_core_call(zre, zim, twre, twim, dmt, n, tile_b, interpret=False,
+                     mxu_sel=False):
     m = n // 2
     b = zre.shape[-1]
     stages = tuple(stage_plan(m))
     offsets = make_twiddle_pack(m, True)[2]
-    use3d = m <= config.USE3D_MAX_N and tile_b >= 1024 and tile_b % 8 == 0
-    kernel = functools.partial(_irfft_core_kernel, n, offsets, stages, use3d)
+    use3d = (m <= config.USE3D_MAX_N and tile_b >= 1024 and tile_b % 8 == 0
+             and not mxu_sel)
+    sdot = _sel_dot_exact if interpret else _sel_dot
+    kernel = functools.partial(_irfft_core_kernel, n, offsets, stages, use3d,
+                               mxu_sel, sdot)
     grid = (b // tile_b,)
     zblock = pl.BlockSpec((m, tile_b), lambda i: (0, i), memory_space=pltpu.VMEM)
     oblock = pl.BlockSpec((n, tile_b), lambda i: (0, i), memory_space=pltpu.VMEM)
     twspec = pl.BlockSpec(twre.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+    in_specs = [zblock, zblock, twspec, twspec]
+    operands = [zre, zim, twre, twim]
+    if mxu_sel:
+        in_specs.append(pl.BlockSpec(dmt.shape, lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        operands.append(dmt)
     return pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[zblock, zblock, twspec, twspec],
+        in_specs=in_specs,
         out_specs=oblock,
         out_shape=jax.ShapeDtypeStruct((n, b), zre.dtype),
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=config.VMEM_LIMIT_BYTES),
         interpret=interpret,
-    )(zre, zim, twre, twim)
+    )(*operands)
 
 
 def _rfft_core_kernel_dma3d(n, offsets, stages,
@@ -300,9 +449,11 @@ def _rfft_impl(x):
     tile_b = _pick_tile(m, b)
     if b % tile_b != 0:
         tile_b = 128
+    mxu_sel = n in config.RFFT_MXU_SELECT_FWD_SIZES
+    dm = jnp.asarray(_DCache.get(min(128, n))) if mxu_sel else None
     interpret = config.FORCE_INTERPRET or jax.default_backend() != "tpu"
-    zre, zim = _rfft_core_call(x, jnp.asarray(sre), jnp.asarray(sim), n,
-                               tile_b, interpret=interpret)
+    zre, zim = _rfft_core_call(x, jnp.asarray(sre), jnp.asarray(sim), dm, n,
+                               tile_b, interpret=interpret, mxu_sel=mxu_sel)
     return hermitian_post_nb(zre, zim, n)
 
 
@@ -345,15 +496,14 @@ def _mirror_block_matrix(m: int) -> np.ndarray:
     return j
 
 
-_MIRROR_DOT = functools.partial(
-    jax.lax.dot_general,
-    dimension_numbers=(((1,), (0,)), ((), ())),
-    preferred_element_type=jnp.float32,
-    precision=jax.lax.Precision.HIGHEST,
-)
+# The mirror matmuls are 0/1 selection dots, so the exact 3-pass bf16x3
+# form applies inside compiled kernels (Exp 47); round-3 used HIGHEST
+# (6 passes, bit-identical result, strictly more MXU passes). Interpret
+# mode keeps HIGHEST (see _sel_dot's docstring).
+_MIRROR_DOT = _sel_dot
 
 
-def _mirror_rows(z, jblk, extra_row0=None):
+def _mirror_rows(z, jblk, extra_row0=None, dot=_MIRROR_DOT):
     """M[k] = z[(m - k) mod m] on [m, b] VMEM values via the blocked MXU
     mirror: per output block i, rows t >= 1 come from input block nb-1-i
     through the [G, G] reversal matmul (a clean 2D MXU dot), and the
@@ -366,7 +516,7 @@ def _mirror_rows(z, jblk, extra_row0=None):
     nb = m // g
     pieces = []
     for i in range(nb):
-        blk = _MIRROR_DOT(jblk, z[(nb - 1 - i) * g:(nb - i) * g])  # row 0 zero
+        blk = dot(jblk, z[(nb - 1 - i) * g:(nb - i) * g])  # row 0 zero
         if i == 0 and extra_row0 is not None:
             pieces.append(extra_row0)
         else:
@@ -376,7 +526,7 @@ def _mirror_rows(z, jblk, extra_row0=None):
     return jnp.concatenate(pieces, axis=0)
 
 
-def _mirror_rows_many(zs, jblk, extra_row0s=None):
+def _mirror_rows_many(zs, jblk, extra_row0s=None, dot=_MIRROR_DOT):
     """Lane-concat blocked mirror (Exp 41): mirror SEVERAL [m, b] planes
     with ONE [G, G] @ [G, nplanes*nb*b] matmul. Same MACs as the per-block
     form, 1/(nplanes*nb) the matmul count — the per-block form is
@@ -393,7 +543,7 @@ def _mirror_rows_many(zs, jblk, extra_row0s=None):
     for z in zs:
         for i in range(nb):
             cols.append(z[(nb - 1 - i) * g:(nb - i) * g])
-    big = _MIRROR_DOT(jblk, jnp.concatenate(cols, axis=1))  # rows 0 are zero
+    big = dot(jblk, jnp.concatenate(cols, axis=1))  # rows 0 are zero
     res = []
     for p, z in enumerate(zs):
         pieces = []
@@ -410,27 +560,34 @@ def _mirror_rows_many(zs, jblk, extra_row0s=None):
     return res
 
 
-def _rfft_fused_kernel(n, offsets, stages, lc,
-                       x_ref, twre_ref, twim_ref, wre_ref, wim_ref, jm_ref,
-                       ore_ref, oim_ref):
+def _rfft_fused_kernel(n, offsets, stages, lc, mxu_sel, sdot, *refs):
+    if mxu_sel:
+        (x_ref, twre_ref, twim_ref, wre_ref, wim_ref, jm_ref, dm_ref,
+         ore_ref, oim_ref) = refs
+    else:
+        (x_ref, twre_ref, twim_ref, wre_ref, wim_ref, jm_ref,
+         ore_ref, oim_ref) = refs
     m = n // 2
     b = x_ref.shape[-1]
     x = x_ref[:]
-    # deinterleave via a [m, 2, b] view: strided slices don't lower inside
-    # Mosaic (vector.extract_strided_slice requires stride 1)
-    xv = x.reshape(m, 2, b)
-    zre = xv[:, 0, :]
-    zim = xv[:, 1, :]
+    if mxu_sel:
+        zre, zim = _mxu_deint(x, dm_ref[:], dot=sdot)
+    else:
+        # deinterleave via a [m, 2, b] view: strided slices don't lower
+        # inside Mosaic (vector.extract_strided_slice requires stride 1)
+        xv = x.reshape(m, 2, b)
+        zre = xv[:, 0, :]
+        zim = xv[:, 1, :]
     zre, zim = _run_stages(zre, zim, m, False, offsets, stages,
                            twre_ref[:], twim_ref[:])
     # B[k] = Z[(m-k) mod m] via the blocked MXU mirror (k = 0 wraps to Z[0],
     # which makes the DC formula below exact: X[0] = Re(Z0) + Im(Z0))
     jm = jm_ref[:]
     if lc:
-        bre, bim = _mirror_rows_many([zre, zim], jm)
+        bre, bim = _mirror_rows_many([zre, zim], jm, dot=sdot)
     else:
-        bre = _mirror_rows(zre, jm)
-        bim = _mirror_rows(zim, jm)
+        bre = _mirror_rows(zre, jm, dot=sdot)
+        bim = _mirror_rows(zim, jm, dot=sdot)
     ere = 0.5 * (zre + bre)
     eim = 0.5 * (zim - bim)
     ore = 0.5 * (zim + bim)
@@ -444,9 +601,13 @@ def _rfft_fused_kernel(n, offsets, stages, lc,
     oim_ref[m:m + 1, :] = jnp.zeros((1, b), x.dtype)
 
 
-def _irfft_fused_kernel(n, offsets, stages, lc,
-                        xre_ref, xim_ref, twre_ref, twim_ref,
-                        wre_ref, wim_ref, jm_ref, o_ref):
+def _irfft_fused_kernel(n, offsets, stages, lc, mxu_sel, sdot, *refs):
+    if mxu_sel:
+        (xre_ref, xim_ref, twre_ref, twim_ref, wre_ref, wim_ref, jm_ref,
+         dmt_ref, o_ref) = refs
+    else:
+        (xre_ref, xim_ref, twre_ref, twim_ref, wre_ref, wim_ref, jm_ref,
+         o_ref) = refs
     m = n // 2
     b = xre_ref.shape[-1]
     are = xre_ref[0:m]
@@ -457,11 +618,13 @@ def _irfft_fused_kernel(n, offsets, stages, lc,
     if lc:
         bre, bim = _mirror_rows_many(
             [xre_ref[0:m], xim_ref[0:m]], jm,
-            extra_row0s=[xre_ref[m:m + 1], xim_ref[m:m + 1]])
+            extra_row0s=[xre_ref[m:m + 1], xim_ref[m:m + 1]], dot=sdot)
         bim = -bim
     else:
-        bre = _mirror_rows(xre_ref[0:m], jm, extra_row0=xre_ref[m:m + 1])
-        bim = -_mirror_rows(xim_ref[0:m], jm, extra_row0=xim_ref[m:m + 1])
+        bre = _mirror_rows(xre_ref[0:m], jm, extra_row0=xre_ref[m:m + 1],
+                           dot=sdot)
+        bim = -_mirror_rows(xim_ref[0:m], jm, extra_row0=xim_ref[m:m + 1],
+                            dot=sdot)
     ere = 0.5 * (are + bre)
     eim = 0.5 * (aim + bim)
     ore = -0.5 * (aim - bim)
@@ -472,58 +635,77 @@ def _irfft_fused_kernel(n, offsets, stages, lc,
     zim = eim + wr * oim + wi * ore
     zre, zim = _run_stages(zre, zim, m, True, offsets, stages,
                            twre_ref[:], twim_ref[:])
-    o_ref[:] = jnp.stack([zre, zim], axis=1).reshape(n, b)
+    if mxu_sel:
+        o_ref[:] = _mxu_reint(zre, zim, dmt_ref[:], dot=sdot)
+    else:
+        o_ref[:] = jnp.stack([zre, zim], axis=1).reshape(n, b)
 
 
-@_ft.partial(jax.jit, static_argnames=("n", "tile_b", "interpret", "lc"))
-def _rfft_fused_call(x, twre, twim, wre, wim, jm, n, tile_b, interpret=False,
-                     lc=False):
+@_ft.partial(jax.jit,
+             static_argnames=("n", "tile_b", "interpret", "lc", "mxu_sel"))
+def _rfft_fused_call(x, twre, twim, wre, wim, jm, dm, n, tile_b,
+                     interpret=False, lc=False, mxu_sel=False):
     m = n // 2
     b = x.shape[-1]
     stages = tuple(_stage_plan(m))
     offsets = _mk_pack(m, False)[2]
-    kernel = _ft.partial(_rfft_fused_kernel, n, offsets, stages, lc)
+    sdot = _sel_dot_exact if interpret else _sel_dot
+    kernel = _ft.partial(_rfft_fused_kernel, n, offsets, stages, lc, mxu_sel,
+                         sdot)
     grid = (b // tile_b,)
     xblock = pl.BlockSpec((n, tile_b), lambda i: (0, i), memory_space=pltpu.VMEM)
     oblock = pl.BlockSpec((m + 1, tile_b), lambda i: (0, i), memory_space=pltpu.VMEM)
     col = lambda a: pl.BlockSpec(a.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
     out_shape = jax.ShapeDtypeStruct((m + 1, b), x.dtype)
+    in_specs = [xblock, col(twre), col(twim), col(wre), col(wim), col(jm)]
+    operands = [x, twre, twim, wre, wim, jm]
+    if mxu_sel:
+        in_specs.append(col(dm))
+        operands.append(dm)
     return pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[xblock, col(twre), col(twim), col(wre), col(wim), col(jm)],
+        in_specs=in_specs,
         out_specs=[oblock, oblock],
         out_shape=[out_shape, out_shape],
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=config.VMEM_LIMIT_BYTES),
         interpret=interpret,
-    )(x, twre, twim, wre, wim, jm)
+    )(*operands)
 
 
-@_ft.partial(jax.jit, static_argnames=("n", "tile_b", "interpret", "lc"))
-def _irfft_fused_call(xre, xim, twre, twim, wre, wim, jm, n, tile_b,
-                      interpret=False, lc=False):
+@_ft.partial(jax.jit,
+             static_argnames=("n", "tile_b", "interpret", "lc", "mxu_sel"))
+def _irfft_fused_call(xre, xim, twre, twim, wre, wim, jm, dmt, n, tile_b,
+                      interpret=False, lc=False, mxu_sel=False):
     m = n // 2
     b = xre.shape[-1]
     stages = tuple(_stage_plan(m))
     offsets = _mk_pack(m, True)[2]
-    kernel = _ft.partial(_irfft_fused_kernel, n, offsets, stages, lc)
+    sdot = _sel_dot_exact if interpret else _sel_dot
+    kernel = _ft.partial(_irfft_fused_kernel, n, offsets, stages, lc, mxu_sel,
+                         sdot)
     grid = (b // tile_b,)
     xblock = pl.BlockSpec((m + 1, tile_b), lambda i: (0, i), memory_space=pltpu.VMEM)
     oblock = pl.BlockSpec((n, tile_b), lambda i: (0, i), memory_space=pltpu.VMEM)
     col = lambda a: pl.BlockSpec(a.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
     out_shape = jax.ShapeDtypeStruct((n, b), xre.dtype)
+    in_specs = [xblock, xblock, col(twre), col(twim), col(wre), col(wim),
+                col(jm)]
+    operands = [xre, xim, twre, twim, wre, wim, jm]
+    if mxu_sel:
+        in_specs.append(col(dmt))
+        operands.append(dmt)
     return pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[xblock, xblock, col(twre), col(twim), col(wre), col(wim),
-                  col(jm)],
+        in_specs=in_specs,
         out_specs=oblock,
         out_shape=out_shape,
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=config.VMEM_LIMIT_BYTES),
         interpret=interpret,
-    )(xre, xim, twre, twim, wre, wim, jm)
+    )(*operands)
 
 
 class _JCache:
@@ -566,10 +748,13 @@ def _rfft_fused_impl(x):
     tile_b = _pick_tile_c(n, b)
     if b % tile_b != 0:
         tile_b = 128
+    mxu_sel = n in config.RFFT_MXU_SELECT_FWD_SIZES
+    dm = jnp.asarray(_DCache.get(min(128, n))) if mxu_sel else None
     interpret = config.FORCE_INTERPRET or jax.default_backend() != "tpu"
-    return _rfft_fused_call(x, sre, sim, wre, wim, jm, n, tile_b,
+    return _rfft_fused_call(x, sre, sim, wre, wim, jm, dm, n, tile_b,
                             interpret=interpret,
-                            lc=n in config.RFFT_MIRROR_LC_SIZES)
+                            lc=n in config.RFFT_MIRROR_LC_SIZES,
+                            mxu_sel=mxu_sel)
 
 
 def irfft_nb_fused(xre, xim):
@@ -597,10 +782,14 @@ def _irfft_fused_impl(xre, xim):
     tile_b = _pick_tile_c(n, b)
     if b % tile_b != 0:
         tile_b = 128
+    mxu_sel = n in config.RFFT_MXU_SELECT_INV_SIZES
+    dmt = (jnp.asarray(_DCache.get(min(128, n), transpose=True))
+           if mxu_sel else None)
     interpret = config.FORCE_INTERPRET or jax.default_backend() != "tpu"
-    return _irfft_fused_call(xre, xim, sre, sim, wre, wim, jm, n, tile_b,
+    return _irfft_fused_call(xre, xim, sre, sim, wre, wim, jm, dmt, n, tile_b,
                              interpret=interpret,
-                             lc=n in config.RFFT_MIRROR_LC_SIZES)
+                             lc=n in config.RFFT_MIRROR_LC_SIZES,
+                             mxu_sel=mxu_sel)
 
 
 def irfft_nb(xre, xim):
@@ -666,9 +855,12 @@ def _irfft_impl(xre, xim):
     tile_b = _pick_tile(m, b)
     if b % tile_b != 0:
         tile_b = 128
+    mxu_sel = n in config.RFFT_MXU_SELECT_INV_SIZES
+    dmt = (jnp.asarray(_DCache.get(min(128, n), transpose=True))
+           if mxu_sel else None)
     interpret = config.FORCE_INTERPRET or jax.default_backend() != "tpu"
-    return _irfft_core_call(zre, zim, jnp.asarray(sre), jnp.asarray(sim), n,
-                            tile_b, interpret=interpret)
+    return _irfft_core_call(zre, zim, jnp.asarray(sre), jnp.asarray(sim), dmt,
+                            n, tile_b, interpret=interpret, mxu_sel=mxu_sel)
 
 
 # -- autodiff: custom VJPs reusing the kernels themselves ---------------------
