@@ -16,8 +16,14 @@ import jax  # noqa: E402
 
 # The axon site forces JAX_PLATFORMS=axon via the environment; the config
 # update below (after import) reliably pins tests to CPU.
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_enable_x64", True)
+# WATFFT_TEST_TPU=1 skips the pin for targeted chip spot-runs of single
+# files (e.g. tests/test_mxu_select.py's bf16x3 bit-equality pin, which
+# only exercises the compiled-Mosaic path on a real TPU backend); x64
+# stays off there — the chip has no f64 units, and full-suite runs remain
+# a CPU/CI concern.
+if os.environ.get("WATFFT_TEST_TPU", "") in ("", "0"):
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
 
 # Persistent compilation cache (repo-local, gitignored): the interpret-mode
 # Pallas kernels at the per-bin override sizes (tests/test_per_bin.py) cost

@@ -160,3 +160,46 @@ def test_bench_sizes_are_tested_sizes():
     sizes = [int(s) for s in m.group(1).split(",")]
     for n in sizes:
         assert 2 <= n <= 4096 and (n & (n - 1)) == 0
+
+
+def test_scipy_fft_competitor_is_correct():
+    """scipy.fft (pocketfft) is the validated second competitor in the
+    CPU second-runtime bench rows (bench.py main_cpu). Its rows are only
+    meaningful if scipy computes the transform we compare against — the
+    reference validates every competitor library the same way
+    (tests/third-party-correctness.test.js:10-16, which caught kissfft-js
+    silently running f32 and webfft's broken real FFT). Fails if scipy's
+    output or normalization convention ever drifts."""
+    sfft = pytest.importorskip("scipy.fft")
+    n = 128
+    rng = ref.seeded_rng(11)
+    z = (rng.uniform(-1, 1, n) + 1j * rng.uniform(-1, 1, n)).astype(
+        np.complex64)
+    np.testing.assert_allclose(sfft.fft(z), ref.dft(z), atol=2e-4)
+    # convention: unnormalized forward, 1/N inverse (ours + numpy's)
+    np.testing.assert_allclose(sfft.ifft(sfft.fft(z)), z, atol=1e-5)
+    np.testing.assert_allclose(sfft.ifft(z), ref.idft(z), atol=2e-4)
+    xr = rng.uniform(-1, 1, n).astype(np.float32)
+    np.testing.assert_allclose(sfft.rfft(xr), ref.real_dft(xr), atol=2e-4)
+
+
+def test_readme_table_matches_snapshot():
+    """README's headline table is GENERATED from the committed snapshot
+    (tools/readme_table.py) — this fails whenever they drift (ADVICE r4 #3:
+    README once matched no committed artifact). Evidence-chain guard."""
+    import importlib.util
+    import json
+    import os
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "readme_table", os.path.join(root, "tools", "readme_table.py"))
+    rt = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(rt)
+    with open(rt.SNAPSHOT) as f:
+        snapshot = json.load(f)
+    with open(rt.README) as f:
+        text = f.read()
+    assert rt.current_block(text) == rt.render(snapshot), (
+        "README.md headline table is out of sync with "
+        "benchmarks/results/headline.latest.json — run "
+        "python tools/readme_table.py")

@@ -54,20 +54,23 @@ def test_decision_table_pallas(interpret_mode):
     assert planner.c2c_kernel(1 << 23, "float32", batch=1) == "fourstep"
     assert planner.c2c_kernel(1024, "float64") == "fourstep"   # f64 tier is separate
     # real path: per-size, PER-DIRECTION codelet table (Exp 32/35, re-probed
-    # in Exp 41 after the Exp 39 radix replans — the fused FORWARD wins at
-    # 16/32/64/256/2048/4096; the fused inverse never beats the hybrid
-    # standalone in either probe, so the inverse table is empty by default)
+    # in Exp 41 after the Exp 39 radix replans, and again in Exp 47 after
+    # the bf16x3 mirror made the fused kernels ~2x cheaper — the fused
+    # FORWARD now wins at 16-512 and 2048-8192 (1024 stays hybrid); the
+    # fused INVERSE wins for the first time at 1024, hybrid elsewhere)
     assert planner.r2c_kernel(64, "float32") == "rfft-pallas-fused"
+    assert planner.r2c_kernel(128, "float32", "forward") == "rfft-pallas-fused"
     assert planner.r2c_kernel(256, "float32") == "rfft-pallas-fused"
+    assert planner.r2c_kernel(512, "float32", "forward") == "rfft-pallas-fused"
     assert planner.r2c_kernel(2048, "float32", "forward") == "rfft-pallas-fused"
     assert planner.r2c_kernel(4096, "float32", "forward") == "rfft-pallas-fused"
-    assert planner.r2c_kernel(128, "float32", "forward") == "rfft-pallas"
-    assert planner.r2c_kernel(512, "float32", "forward") == "rfft-pallas"
+    assert planner.r2c_kernel(8192, "float32", "forward") == "rfft-pallas-fused"
     assert planner.r2c_kernel(1024, "float32", "forward") == "rfft-pallas"
     assert planner.r2c_kernel(64, "float32", "inverse") == "rfft-pallas"
     assert planner.r2c_kernel(256, "float32", "inverse") == "rfft-pallas"
+    assert planner.r2c_kernel(1024, "float32", "inverse") == "rfft-pallas-fused"
     assert planner.r2c_kernel(4096, "float32", "inverse") == "rfft-pallas"
-    assert planner.r2c_kernel(8192, "float32") == "rfft-pallas"
+    assert planner.r2c_kernel(16384, "float32", "forward") == "rfft-pallas"
     assert planner.r2c_kernel(4, "float32") == "fourstep"      # below kernel range
     # past the Stockham ceiling the real path rides the batched four-step
     assert planner.r2c_kernel(32768, "float32") == "rfft-large"

@@ -11,7 +11,12 @@ embed the DATA (not pictures) into one HTML file, and render it with inline
 JS — hover readouts on every panel, dB-floor and log/linear scale toggles,
 zero external dependencies, opens offline.
 
-Usage: python tools/playground_report.py [out.html] [--cpu]
+Round-5 (VERDICT r4 #8): the report also accepts USER AUDIO — a second
+input path through the same pipelines, the analog of the reference
+playground's recorder/file modes (playground/src/main.js):
+
+Usage: python tools/playground_report.py [out.html] [--cpu] [--wav file.wav]
+       python -m watfft_tpu analyze file.wav [--html out.html] [--cpu]
 
 Chart styling follows the dataviz method (validated palette from round 3):
 sequential magnitude = one blue ramp light->dark (never a rainbow),
@@ -55,6 +60,43 @@ def synth_signal(sr: int = 16000, seconds: float = 2.0) -> np.ndarray:
     tone2 = 0.35 * np.sin(2 * np.pi * 5200 * t) * (t > seconds / 2)
     noise = 0.02 * np.random.default_rng(0).standard_normal(t.shape)
     return (chirp + tone1 + tone2 + noise).astype(np.float32)
+
+
+def load_wav(path: str, max_seconds: float = 30.0):
+    """Decode a PCM WAV with the stdlib (no audio deps in the image):
+    8/16/32-bit integer or 32-bit float frames, any channel count
+    (mono-ized by averaging), truncated to `max_seconds`. Returns
+    (float32 signal in [-1, 1], sample_rate)."""
+    import wave
+    with wave.open(path, "rb") as w:
+        sr = w.getframerate()
+        nch = w.getnchannels()
+        width = w.getsampwidth()
+        nframes = min(w.getnframes(), int(max_seconds * sr))
+        raw = w.readframes(nframes)
+    if width == 1:  # unsigned 8-bit
+        sig = (np.frombuffer(raw, np.uint8).astype(np.float32) - 128.0) / 128.0
+    elif width == 2:
+        sig = np.frombuffer(raw, "<i2").astype(np.float32) / 32768.0
+    elif width == 3:  # packed 24-bit
+        b = np.frombuffer(raw, np.uint8).reshape(-1, 3)
+        v = (b[:, 0].astype(np.int32) | (b[:, 1].astype(np.int32) << 8)
+             | (b[:, 2].astype(np.int32) << 16))
+        v = np.where(v >= 1 << 23, v - (1 << 24), v)
+        sig = v.astype(np.float32) / float(1 << 23)
+    elif width == 4:
+        iv = np.frombuffer(raw, "<i4")
+        fv = np.frombuffer(raw, "<f4")
+        # WAVE_FORMAT_IEEE_FLOAT files are rare through wave (it reports
+        # sampwidth 4 for both); floats land in [-1, 1], ints don't
+        sig = (fv.astype(np.float32) if np.all(np.isfinite(fv))
+               and np.abs(fv).max(initial=0.0) <= 4.0
+               else iv.astype(np.float32) / 2147483648.0)
+    else:
+        raise ValueError(f"unsupported WAV sample width {width}")
+    if nch > 1:
+        sig = sig.reshape(-1, nch).mean(axis=1)
+    return np.ascontiguousarray(sig, np.float32), sr
 
 
 def spectrogram_data(sig, sr) -> dict:
@@ -175,7 +217,7 @@ All data is embedded; every panel has hover readouts and scale toggles;
 the file opens offline.</p>
 
 <h2>Mel spectrogram</h2>
-<p class="sub">Chirp (300&#8594;3900 Hz) + 2.5 kHz tone + gated 5.2 kHz tone,
+<p class="sub">__SIGDESC__,
 through <code>watfft_tpu.stft.spectrogram</code>. Hover for (time, mel bin,
 dB); the floor buttons re-map the color ramp.</p>
 <div class="card">
@@ -407,21 +449,23 @@ function lerpRamp(t) {  // t in [0,1] -> css color from the blue ramp
 """
 
 
-def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    out = args[0] if args else os.path.join(REPO, "playground_report.html")
+SYNTH_DESC = ("Chirp (300&#8594;3900 Hz) + 2.5 kHz tone + gated 5.2 kHz "
+              "tone")
+
+
+def build_report(sig, sr: int, out: str, sig_desc: str = SYNTH_DESC) -> str:
+    """Render the interactive report for (sig, sr) — the shared back end of
+    the synthetic demo and the user-audio `analyze` path."""
     import jax
-    if "--cpu" in sys.argv:
-        # env JAX_PLATFORMS is overridden by the axon site config; the
-        # post-import config update is the reliable pin (CLAUDE.md)
-        jax.config.update("jax_platforms", "cpu")
-    sr = 16000
-    sig = synth_signal(sr)
+    if len(sig) < 4096:
+        raise ValueError(f"signal too short to analyze ({len(sig)} samples; "
+                         f"need >= 4096)")
     html = HTML
     for k, v in (("__PAGE__", PAGE), ("__SURFACE__", SURFACE),
                  ("__INK__", INK), ("__INK2__", INK2), ("__MUTED__", MUTED),
                  ("__GRID__", GRID), ("__BASELINE__", BASELINE),
                  ("__BLUE__", BLUE), ("__BACKEND__", jax.default_backend()),
+                 ("__SIGDESC__", sig_desc),
                  ("__SPEC_JSON__", json.dumps(spectrogram_data(sig, sr))),
                  ("__SPECTRUM_JSON__", json.dumps(spectrum_data(sig, sr))),
                  ("__BENCH_JSON__", json.dumps(bench_data())),
@@ -430,6 +474,31 @@ def main() -> None:
     with open(out, "w") as f:
         f.write(html)
     print(f"wrote {out} ({os.path.getsize(out) // 1024} KB)")
+    return out
+
+
+def main(argv=None) -> None:
+    argv = sys.argv[1:] if argv is None else argv
+    args = [a for a in argv if not a.startswith("--")]
+    import jax
+    if "--cpu" in argv:
+        # env JAX_PLATFORMS is overridden by the axon site config; the
+        # post-import config update is the reliable pin (CLAUDE.md)
+        jax.config.update("jax_platforms", "cpu")
+    wav = None
+    if "--wav" in argv:
+        wav = argv[argv.index("--wav") + 1]
+        args = [a for a in args if a != wav]
+    out = args[0] if args else os.path.join(REPO, "playground_report.html")
+    if wav:
+        import html as _html
+        sig, sr = load_wav(wav)
+        desc = (f"<code>{_html.escape(os.path.basename(wav))}</code> "
+                f"({len(sig)/sr:.1f}s at {sr} Hz, mono-ized)")
+        build_report(sig, sr, out, desc)
+    else:
+        sr = 16000
+        build_report(synth_signal(sr), sr, out)
 
 
 if __name__ == "__main__":

@@ -1,17 +1,46 @@
-"""CLI self-test: `python -m watfft_tpu [size] [signal] [--dtype float32]`.
+"""CLI: self-test and audio analysis.
 
-Reference parity: wat-fft's CLI test mode `node tests/fft.test.js 64 random`
-(README.md:297-301 there). Runs the flagship surfaces for one size and
-signal against the f64 oracle and prints per-surface errors.
+  python -m watfft_tpu [size] [signal] [--dtype float32]
+      Reference parity: wat-fft's CLI test mode `node tests/fft.test.js 64
+      random` (README.md:297-301 there). Runs the flagship surfaces for one
+      size and signal against the f64 oracle and prints per-surface errors.
+
+  python -m watfft_tpu analyze file.wav [--html out.html] [--cpu]
+      User-audio path through the playground report (VERDICT r4 #8 — the
+      analog of the reference playground's recorder/file input modes,
+      playground/src/main.js): decodes the WAV with the stdlib, runs the
+      real spectrogram + rfft pipelines, writes a self-contained
+      interactive HTML report.
 """
 
 import argparse
+import os
 import sys
 
 import numpy as np
 
 
+def _analyze(argv):
+    ap = argparse.ArgumentParser(prog="python -m watfft_tpu analyze")
+    ap.add_argument("wav", help="input WAV file (PCM 8/16/24/32-bit)")
+    ap.add_argument("--html", default=None,
+                    help="output path (default: <wav>.html)")
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args(argv)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(repo, "tools"))
+    import playground_report as pr
+    pr_args = ["--wav", args.wav,
+               args.html or (os.path.splitext(args.wav)[0] + ".html")]
+    if args.cpu:
+        pr_args.append("--cpu")
+    pr.main(pr_args)
+
+
 def main(argv=None):
+    argv = sys.argv[1:] if argv is None else argv
+    if argv and argv[0] == "analyze":
+        return _analyze(argv[1:])
     ap = argparse.ArgumentParser(prog="python -m watfft_tpu")
     ap.add_argument("size", nargs="?", type=int, default=64)
     ap.add_argument("signal", nargs="?", default="random")

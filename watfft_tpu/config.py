@@ -107,17 +107,23 @@ RFFT_PALLAS_MAX_N = _int_env("WATFFT_RFFT_MAX_N", 16384)  # m=8192 core, Exp 20
 # and slower at others, moving the crossovers): forward fused wins grew to
 # 256 (20.6us vs hybrid 33.3) and 2048 (65.3 vs 97.1); 128/512/1024 stay
 # hybrid (hybrid 25.5/45.7/42.2us vs fused 29.8/45.1/53.8).
-# Inverse: hybrid ties or wins everywhere in BOTH probes (Exp 41 inv
-# fused/hybrid 0.56-0.87 at every size) — the fused irfft never beats the
-# hybrid standalone, so its default table is EMPTY (the kernel stays
-# registered + benched).
+# Round-5 re-probe AFTER the Exp 47 bf16x3 mirror (tools/probe_rsel.py on
+# chip, 2026-08-20 — the fused kernels' Hermitian mirror got ~2x cheaper,
+# moving the crossovers again, exactly Exp 38's re-probe lesson): forward
+# fused now also wins 128 (34.2us vs hybrid 39.5), 512 (39.1 vs 47.7) and
+# 8192 (57.4 vs 197.8 — with MXU select); 256 is a tie (38.8 vs 38.3,
+# inside the noise gate — kept), 1024 stays hybrid (39.6 vs 47.6).
+# Inverse: the fused inverse beats the hybrid for the FIRST time at 1024
+# (26.6us vs 47.5, both with MXU select; hybrid-parity 63.8) — every
+# other size stays hybrid (fused 45.6-61.0 vs hybrid 37.5-52.5).
 RFFT_FUSED_FWD_SIZES = frozenset(
     int(s) for s in os.environ.get(
-        "WATFFT_RFFT_FUSED_FWD_SIZES", "16,32,64,256,2048,4096").split(",")
+        "WATFFT_RFFT_FUSED_FWD_SIZES",
+        "16,32,64,128,256,512,2048,4096,8192").split(",")
     if s)
 RFFT_FUSED_INV_SIZES = frozenset(
     int(s) for s in os.environ.get(
-        "WATFFT_RFFT_FUSED_INV_SIZES", "").split(",") if s)
+        "WATFFT_RFFT_FUSED_INV_SIZES", "1024").split(",") if s)
 # bf16 COMPUTE tier (round-3 headroom d): when set, bfloat16 planes run
 # the Stockham butterflies in bf16 end-to-end (bf16 twiddles, weak-typed
 # codelet constants) instead of converting to f32 at the kernel boundary.
@@ -143,16 +149,25 @@ RFFT_MIRROR_LC_SIZES = frozenset(
 # as per-row sublane selects, costing 3.53x the whole m=2048 core at
 # [4096, 512]; blocked 0/1 matmuls in the exact 3-pass bf16x3 form cut the
 # roundtrip tax to 1.51x (tools/probe_real4096f.py). The result is
-# bit-identical to the parity select (see _sel_dot). Per-size, PER-DIRECTION
-# tables measured on chip (tools/probe_rsel.py); only the 2D [n, batch]
-# layout consults them — the 3D native layout's split rides a major dim
-# for free.
+# bit-exact at the op level; end-to-end the two program variants differ
+# <= 2 ulp from compiler FMA-contraction of the surrounding stages — the
+# same accuracy surface as any recompile (see _sel_dot; pinned per
+# direction and family by tests/test_mxu_select.py). Per-size, PER-DIRECTION tables
+# measured on chip (tools/probe_rsel.py, 2026-08-20, full table in
+# docs/EXPERIMENT_LOG.md Exp 47): forward MXU wins 2048-16384 (e.g. 4096:
+# fused-mxu 50.6us vs fused-parity 70.6 vs hybrid-parity 139.2); inverse
+# MXU wins 512-16384 (e.g. 4096: hybrid-mxu 47.0us vs hybrid-parity 59.3).
+# Below those sizes the parity select is already cheaper than the extra
+# MXU passes (128-256: mxu loses 12-34%). Only the 2D [n, batch] layout
+# consults them — the 3D native layout's split rides a major dim for free.
 RFFT_MXU_SELECT_FWD_SIZES = frozenset(
     int(s) for s in os.environ.get(
-        "WATFFT_RFFT_MXU_SELECT_FWD_SIZES", "").split(",") if s)
+        "WATFFT_RFFT_MXU_SELECT_FWD_SIZES",
+        "2048,4096,8192,16384").split(",") if s)
 RFFT_MXU_SELECT_INV_SIZES = frozenset(
     int(s) for s in os.environ.get(
-        "WATFFT_RFFT_MXU_SELECT_INV_SIZES", "").split(",") if s)
+        "WATFFT_RFFT_MXU_SELECT_INV_SIZES",
+        "512,1024,2048,4096,8192,16384").split(",") if s)
 FORCE_INTERPRET = os.environ.get("WATFFT_INTERPRET", "") not in ("", "0", "false")
 
 

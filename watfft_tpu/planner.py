@@ -97,9 +97,11 @@ def r2c_kernel(n: int, dtype: str, direction: str = "forward") -> str:
     mirror — dispatched at the sizes where it measured faster, the per-size
     codelet-table pattern of the reference's
     fft_real_f32_dual.wat:2433-2459), 'rfft-pallas' (partial-fusion hybrid),
-    or 'fourstep'. The fused table is PER-DIRECTION (Exp 35: the fused
-    forward wins at 16/32/64/4096 standalone; the fused inverse never beats
-    the hybrid standalone, so its default table is empty)."""
+    or 'fourstep'. The fused table is PER-DIRECTION and re-probed whenever
+    shared machinery changes (Exp 35 -> Exp 41 -> Exp 47: after the bf16x3
+    mirror the fused forward wins at 16-512 and 2048-8192, and the fused
+    inverse wins at 1024 — its first entry; config.RFFT_FUSED_* cite the
+    numbers)."""
     if dtype == "float32" and pallas_available() and is_power_of_two(n):
         if 8 <= n <= config.RFFT_PALLAS_MAX_N:
             fused = (config.RFFT_FUSED_FWD_SIZES if direction == "forward"
