@@ -1036,11 +1036,14 @@ def main_cpu() -> None:
     reference's browser benches, which exist because a stale second-runtime
     bench once mis-reported for two generations (wat-surfaces.mjs:13-17).
     Times the PUBLIC planner-dispatched path on the CPU/XLA backend — where
-    the planner routes to the XLA four-step, a genuinely fast CPU path, not
-    interpret-mode Pallas — against jnp.fft AND scipy.fft (pocketfft) on the
-    same host, with the same chain-slope harness for the jnp pair and
-    wall-clock batching for scipy (a host library has no XLA chain; its
-    per-call number includes exactly the work a scipy user pays).
+    the planner dispatches 'xla-fft' (the platform's native FFT through our
+    plane API; round-5: the four-step matmul path measured 0.18-0.24x jnp
+    on CPU, so the FFTW-planner answer is the native library) — against
+    jnp.fft AND scipy.fft (pocketfft) on the same host, with the same
+    chain-slope harness for the jnp pair and wall-clock batching for scipy
+    (a host library has no XLA chain; its per-call number includes exactly
+    the work a scipy user pays). The explicit four-step surface gets its
+    own row so the portable path stays measured on the second runtime.
     scipy's correctness is validated by tests/test_meta.py (the reference
     validates every competitor, third-party-correctness.test.js:10-16).
     Saves headline-cpu.latest.json; CI runs this as its bench smoke (the
@@ -1074,12 +1077,20 @@ def main_cpu() -> None:
             a, bb = c
             z = jnp.fft.ifft(jnp.fft.fft(a + 1j * bb))
             return z.real, z.imag
+        def fstep(c, ctx=ctx):
+            a, bb = c
+            a, bb = ctx.forward_planes_fourstep(a, bb)
+            return ctx.inverse_planes_fourstep(a, bb)
+
         t_o, t_b, ratio, st = paired_chain(dstep, (xre, xim), jstep,
                                            (xre, xim), reps=3, r1=4, r2=24,
                                            target_s=0.03)
         ratios.append(ratio)
+        from watfft_tpu.bench.harness import time_chain as _tc
+        t_fs = _tc(fstep, (xre, xim), r1=4, r2=24, target_s=0.03)
         for nm, t, ts in ((f"watfft-cpu/dispatch/f32/n{n}", t_o,
                            st["ours_times"]),
+                          (f"watfft-cpu/fourstep-mxu/f32/n{n}", t_fs, [t_fs]),
                           (f"jnp.fft-cpu/f32/n{n}", t_b, st["base_times"])):
             import statistics as _st
             m = _st.fmean(ts)

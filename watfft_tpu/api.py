@@ -199,6 +199,8 @@ class FFTContext(_BaseContext):
             return self._bm_stockham(xre, xim, inverse=False)
         if kind == "large-nb":
             return self._bm_large(xre, xim, inverse=False)
+        if kind == "xla-fft":
+            return self._planes_xla(xre, xim, inverse=False)
         return self.forward_planes_fourstep(xre, xim)
 
     def inverse_planes(self, xre, xim):
@@ -208,7 +210,27 @@ class FFTContext(_BaseContext):
             return self._bm_stockham(xre, xim, inverse=True)
         if kind == "large-nb":
             return self._bm_large(xre, xim, inverse=True)
+        if kind == "xla-fft":
+            return self._planes_xla(xre, xim, inverse=True)
         return self.inverse_planes_fourstep(xre, xim)
+
+    def _planes_xla(self, xre, xim, inverse: bool):
+        """Planner target 'xla-fft' (non-TPU backends only): the platform's
+        native FFT through the same plane API. Complex is assembled
+        in-graph — safe here because this branch never runs on the axon
+        TPU backend, whose complex-boundary limitation motivated the
+        plane convention (planner.native_backend_fft). Measured on the CPU
+        second runtime: the four-step matmul path ran 0.18-0.24x jnp.fft
+        (round-5 bench.py --cpu); dispatching the native FFT makes the
+        public API cost ~nothing over jnp.fft off-TPU."""
+        xre, xim = self._prep(xre), self._prep(xim)
+        if xre.shape[-1] != self.size:  # plan-once contract: typed error
+            raise ValueError(
+                f"context is planned for size {self.size}, got input with "
+                f"trailing axis {xre.shape[-1]}")
+        z = jax.lax.complex(xre, xim)
+        z = jnp.fft.ifft(z) if inverse else jnp.fft.fft(z)
+        return z.real, z.imag
 
     # -- explicit four-step (XLA) surface: always available, differentiable,
     # any backend — and directly addressable by the registry/bench ------------
@@ -430,13 +452,32 @@ class RFFTContext(_BaseContext):
 
     # -- batch-major [..., n] entry points (planner-dispatched) ---------------
     def forward_planes(self, x):
-        if planner.r2c_kernel(self.size, self.dtype).startswith("rfft-"):
+        kind = planner.r2c_kernel(self.size, self.dtype)
+        if kind.startswith("rfft-"):
             return self._bm_rfft(x, inverse=False)
+        if kind == "xla-fft":  # non-TPU backends: native FFT (see FFTContext)
+            x = self._prep(x)
+            if x.shape[-1] != self.size:  # plan-once contract: typed error
+                raise ValueError(
+                    f"context is planned for size {self.size}, got input "
+                    f"with trailing axis {x.shape[-1]}")
+            X = jnp.fft.rfft(x)
+            return X.real, X.imag
         return self.forward_planes_fourstep(x)
 
     def inverse_planes(self, xre, xim):
-        if planner.r2c_kernel(self.size, self.dtype).startswith("rfft-"):
+        kind = planner.r2c_kernel(self.size, self.dtype, "inverse")
+        if kind.startswith("rfft-"):
             return self._bm_rfft((xre, xim), inverse=True)
+        if kind == "xla-fft":
+            xre, xim = self._prep(xre), self._prep(xim)
+            if xre.shape[-1] != self.size // 2 + 1:
+                raise ValueError(
+                    f"context is planned for size {self.size} "
+                    f"({self.size // 2 + 1} bins), got spectrum with "
+                    f"trailing axis {xre.shape[-1]}")
+            z = jax.lax.complex(xre, xim)
+            return jnp.fft.irfft(z, n=self.size)
         return self.inverse_planes_fourstep(xre, xim)
 
     def forward_planes_fourstep(self, x):

@@ -99,6 +99,13 @@ def _bluestein_bm(moved, inverse: bool, xp):
 def _fft_any(moved, inverse: bool, xp):
     if _is_pow2(moved.shape[-1]):
         return api.ifft(moved) if inverse else api.fft(moved)
+    from . import planner
+    if planner.native_backend_fft():
+        # non-TPU backends: the native XLA FFT handles any n directly and
+        # beats the three-pow2-transform Bluestein route (the same
+        # FFTW-planner decision as the pow2 'xla-fft' dispatch)
+        z = jnp.asarray(moved)
+        return jnp.fft.ifft(z) if inverse else jnp.fft.fft(z)
     return _bluestein_bm(moved, inverse, xp)
 
 
@@ -131,8 +138,11 @@ def rfft(a, n=None, axis=-1, norm=None):
     a = xp.asarray(a)
     a, n = _fix_len(xp, a, n, axis)
     moved = xp.moveaxis(a, axis, -1)
+    from . import planner
     if _is_pow2(n):
         out = api.rfft(moved)
+    elif planner.native_backend_fft():
+        out = jnp.fft.rfft(jnp.asarray(moved))  # non-TPU: native any-n rfft
     else:
         # arbitrary length: complex Bluestein on the real signal, keep the
         # non-negative half-spectrum (numpy's rfft bins)
@@ -181,8 +191,12 @@ def irfft(a, n=None, axis=-1, norm=None):
     m = n // 2 + 1
     a, _ = _fix_len(xp, a, m, axis)
     if not (_is_pow2(n) and n >= 2):
+        from . import planner
         moved = xp.moveaxis(a, axis, -1)
-        out = _irfft_bluestein(moved, n, xp)
+        if planner.native_backend_fft():  # non-TPU: native any-n irfft
+            out = jnp.fft.irfft(jnp.asarray(moved), n=n)
+        else:
+            out = _irfft_bluestein(moved, n, xp)
         s = _norm_scale(norm, n, "inv")
         if s != 1.0:
             out = out * s

@@ -44,11 +44,25 @@ import jax
 from . import config
 from .plan import is_power_of_two
 
-__all__ = ["pallas_available", "c2c_kernel", "r2c_kernel"]
+__all__ = ["pallas_available", "native_backend_fft", "c2c_kernel",
+           "r2c_kernel"]
 
 
 def pallas_available() -> bool:
     return config.FORCE_INTERPRET or jax.default_backend() == "tpu"
+
+
+def native_backend_fft() -> bool:
+    """Non-TPU backends (the CPU second runtime, GPUs): the platform's own
+    XLA FFT (pocketfft/ducc on CPU) is the fastest implementation
+    available — the round-5 CPU bench measured the four-step matmul path
+    at 0.18-0.24x jnp.fft there (bench.py --cpu), which is exactly the
+    FFTW-planner situation where the right plan is the native library.
+    The public API dispatches to it ('xla-fft') so switching from jnp.fft
+    costs nothing on CPU while the same code runs the Pallas kernels on
+    TPU. Interpret mode opts out so CI still exercises the Pallas
+    dispatch branches."""
+    return not config.FORCE_INTERPRET and jax.default_backend() != "tpu"
 
 
 def c2c_kernel(n: int, dtype: str, batch: int | None = None) -> str:
@@ -62,7 +76,12 @@ def c2c_kernel(n: int, dtype: str, batch: int | None = None) -> str:
     branch — the fused pipeline cannot compile there, config.LARGE_2D_MAX_N
     note): dispatched only when the pre-tiled twiddle stays within
     config.TILED_TW_CAP_BYTES. batch=None means unknown -> conservative
-    'fourstep' in that range."""
+    'fourstep' in that range.
+
+    On non-TPU backends the answer is 'xla-fft' (native_backend_fft):
+    jnp.fft through the same public API, any size."""
+    if native_backend_fft():
+        return "xla-fft"
     if dtype == "float32" and pallas_available() and is_power_of_two(n):
         # Small-n note: 'mxu-dft' (whole transform as one MXU matmul) is
         # deliberately NEVER dispatched — it measured 0.56-0.62x the VPU
@@ -101,7 +120,9 @@ def r2c_kernel(n: int, dtype: str, direction: str = "forward") -> str:
     shared machinery changes (Exp 35 -> Exp 41 -> Exp 47: after the bf16x3
     mirror the fused forward wins at 16-512 and 2048-8192, and the fused
     inverse wins at 1024 — its first entry; config.RFFT_FUSED_* cite the
-    numbers)."""
+    numbers). On non-TPU backends: 'xla-fft' (native_backend_fft)."""
+    if native_backend_fft():
+        return "xla-fft"
     if dtype == "float32" and pallas_available() and is_power_of_two(n):
         if 8 <= n <= config.RFFT_PALLAS_MAX_N:
             fused = (config.RFFT_FUSED_FWD_SIZES if direction == "forward"
