@@ -822,74 +822,11 @@ def main(full: bool = False) -> None:
             print(f"  dispatch bench failed: {str(e)[:120]}", file=sys.stderr)
 
     # =======================================================================
-    # DEPTH SWEEPS — per-size breadth on already-covered surfaces. A budget
-    # truncation here costs table rows, not surface coverage.
-    # =======================================================================
-
-    # ---------------- real path depth: the remaining eight sizes ----------
-    for n in SIZES:
-        if n == 1024:  # representative point already measured above
-            continue
-        if over_budget(f"real-{n}"):
-            break
-        try:
-            bench_real_size(n)
-        except Exception as e:
-            print(f"  real n={n} bench failed: {str(e)[:120]}",
-                  file=sys.stderr)
-    if real_speedups:
-        rg = math.exp(sum(map(math.log, real_speedups)) / len(real_speedups))
-        print(f"  [real] geomean over {len(real_speedups)} sizes: x{rg:.2f}",
-              file=sys.stderr)
-
-    # ---------------- extended kernel sizes (beyond the BASELINE sweep) ---
-    # The former 8192-32768 "crossover valley" (VERDICT r2 Missing #2):
-    # each size runs through whatever the PLANNER dispatches (so the bench
-    # tracks dispatch retunes automatically). --full only: the planner's
-    # crossovers are re-validated when they change, not per driver run.
-    for n in ((8192, 16384, 32768) if full else ()):
-        try:
-            b = max(128, TOTAL_ELEMS // n)
-            xre_t = jnp.asarray(rng.uniform(-1, 1, (n, b)).astype(np.float32))
-            xim_t = jnp.asarray(rng.uniform(-1, 1, (n, b)).astype(np.float32))
-            kname = _planner.c2c_kernel(n, "float32")
-            surf = {"stockham": "stockham-pallas"}.get(kname, kname)
-
-            if kname == "stockham":
-                def pstep(c):
-                    a, bb = c
-                    a, bb = stockham_fft_nb(a, bb, inverse=False)
-                    return stockham_fft_nb(a, bb, inverse=True)
-            else:
-                def pstep(c):
-                    a, bb = c
-                    a, bb = fft_large_nb(a, bb, inverse=False)
-                    return fft_large_nb(a, bb, inverse=True)
-            xre = jnp.asarray(rng.uniform(-1, 1, (b, n)).astype(np.float32))
-            xim = jnp.asarray(rng.uniform(-1, 1, (b, n)).astype(np.float32))
-
-            def jstep2(c):
-                a, bb = c
-                z = jnp.fft.ifft(jnp.fft.fft(a + 1j * bb))
-                return z.real, z.imag
-            t_x, t_jx, ratio, st = paired_chain(
-                pstep, (xre_t, xim_t), jstep2, (xre, xim),
-                reps=3, floor_ours=_roundtrip_floor(xre_t.size))
-            nbytes = 16 * n * b
-            record(f"watfft/{surf}/f32/n{n}", t_x, b, nbytes=nbytes,
-                   times=st["ours_times"])
-            record(f"jnp.fft/f32/n{n}", t_jx, b, nbytes=nbytes,
-                   times=st["base_times"])
-            print(f"  [ext] n={n:<6} ours({surf})={2*b/t_x:,.0f}/s "
-                  f"jnp={2*b/t_jx:,.0f}/s x{ratio:.2f}",
-                  file=sys.stderr)
-        except Exception as e:
-            print(f"  ext n={n} bench failed: {str(e)[:120]}", file=sys.stderr)
-
-    # =======================================================================
-    # SECONDARY TIERS — alternates and documented negatives. These are the
-    # LAST sections by design (VERDICT r4 #3): they previously ran before
-    # the real/f64/large surfaces and starved them of driver budget.
+    # SECONDARY SURFACE POINTS — alternates and documented negatives, one
+    # point each. They run BEFORE the depth sweeps so every registry
+    # surface (incl. stockham-bf16 / mxu-dft) is measured even when the
+    # driver budget truncates the run (round-5: a 540 s run covered all
+    # primary surfaces but expired before these when they were last).
     # =======================================================================
 
     # ---------------- bf16 interop tier -----------------------------------
@@ -898,7 +835,7 @@ def main(full: bool = False) -> None:
     # the snapshot's rel column is the honest record, VERDICT r3 Weak #4).
     if not over_budget("bf16"):
         try:
-            for n in (64, 1024):
+            for n in ((64, 1024) if full else (1024,)):
                 b = max(128, TOTAL_ELEMS // n)
                 xre_h = jnp.asarray(
                     rng.uniform(-1, 1, (n, b)).astype(np.float32),
@@ -990,6 +927,73 @@ def main(full: bool = False) -> None:
                   f"(vs stockham {2*b/raw_times[n]:,.0f}/s)", file=sys.stderr)
         except Exception as e:
             print(f"  mxu-dft bench failed: {str(e)[:120]}", file=sys.stderr)
+
+    # =======================================================================
+    # DEPTH SWEEPS — per-size breadth on already-covered surfaces, LAST by
+    # design (VERDICT r4 #3): a budget truncation here costs table rows,
+    # not surface coverage. The convenience row (not a registry surface)
+    # closes the run.
+    # =======================================================================
+
+    # ---------------- real path depth: the remaining eight sizes ----------
+    for n in SIZES:
+        if n == 1024:  # representative point already measured above
+            continue
+        if over_budget(f"real-{n}"):
+            break
+        try:
+            bench_real_size(n)
+        except Exception as e:
+            print(f"  real n={n} bench failed: {str(e)[:120]}",
+                  file=sys.stderr)
+    if real_speedups:
+        rg = math.exp(sum(map(math.log, real_speedups)) / len(real_speedups))
+        print(f"  [real] geomean over {len(real_speedups)} sizes: x{rg:.2f}",
+              file=sys.stderr)
+
+    # ---------------- extended kernel sizes (beyond the BASELINE sweep) ---
+    # The former 8192-32768 "crossover valley" (VERDICT r2 Missing #2):
+    # each size runs through whatever the PLANNER dispatches (so the bench
+    # tracks dispatch retunes automatically). --full only: the planner's
+    # crossovers are re-validated when they change, not per driver run.
+    for n in ((8192, 16384, 32768) if full else ()):
+        try:
+            b = max(128, TOTAL_ELEMS // n)
+            xre_t = jnp.asarray(rng.uniform(-1, 1, (n, b)).astype(np.float32))
+            xim_t = jnp.asarray(rng.uniform(-1, 1, (n, b)).astype(np.float32))
+            kname = _planner.c2c_kernel(n, "float32")
+            surf = {"stockham": "stockham-pallas"}.get(kname, kname)
+
+            if kname == "stockham":
+                def pstep(c):
+                    a, bb = c
+                    a, bb = stockham_fft_nb(a, bb, inverse=False)
+                    return stockham_fft_nb(a, bb, inverse=True)
+            else:
+                def pstep(c):
+                    a, bb = c
+                    a, bb = fft_large_nb(a, bb, inverse=False)
+                    return fft_large_nb(a, bb, inverse=True)
+            xre = jnp.asarray(rng.uniform(-1, 1, (b, n)).astype(np.float32))
+            xim = jnp.asarray(rng.uniform(-1, 1, (b, n)).astype(np.float32))
+
+            def jstep2(c):
+                a, bb = c
+                z = jnp.fft.ifft(jnp.fft.fft(a + 1j * bb))
+                return z.real, z.imag
+            t_x, t_jx, ratio, st = paired_chain(
+                pstep, (xre_t, xim_t), jstep2, (xre, xim),
+                reps=3, floor_ours=_roundtrip_floor(xre_t.size))
+            nbytes = 16 * n * b
+            record(f"watfft/{surf}/f32/n{n}", t_x, b, nbytes=nbytes,
+                   times=st["ours_times"])
+            record(f"jnp.fft/f32/n{n}", t_jx, b, nbytes=nbytes,
+                   times=st["base_times"])
+            print(f"  [ext] n={n:<6} ours({surf})={2*b/t_x:,.0f}/s "
+                  f"jnp={2*b/t_jx:,.0f}/s x{ratio:.2f}",
+                  file=sys.stderr)
+        except Exception as e:
+            print(f"  ext n={n} bench failed: {str(e)[:120]}", file=sys.stderr)
 
     # ---------------- convenience-path tax (VERDICT r2 Weak #5) -----------
     # fftlib.fft / ctx.forward take complex dtypes, which the axon tunnel

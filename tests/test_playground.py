@@ -118,3 +118,17 @@ def test_load_wav_widths(tmp_path):
         got, got_sr = pr.load_wav(str(p))
         assert got_sr == sr and len(got) == len(sig)
         assert np.abs(got - sig).max() < tol, width
+
+
+def test_analyze_bad_wav_gives_typed_error(tmp_path, capsys):
+    """A non-WAV input must exit with a clean message, not a raw decoder
+    traceback (failure-detection tier: typed errors at every boundary)."""
+    import pytest
+
+    from watfft_tpu import __main__ as cli
+    bad = tmp_path / "not_audio.wav"
+    bad.write_bytes(b"this is not a wav file")
+    with pytest.raises(SystemExit) as exc:
+        cli.main(["analyze", str(bad), "--html", str(tmp_path / "o.html")])
+    assert exc.value.code == 2
+    assert "not a readable PCM WAV" in capsys.readouterr().err

@@ -68,12 +68,17 @@ def load_wav(path: str, max_seconds: float = 30.0):
     (mono-ized by averaging), truncated to `max_seconds`. Returns
     (float32 signal in [-1, 1], sample_rate)."""
     import wave
-    with wave.open(path, "rb") as w:
-        sr = w.getframerate()
-        nch = w.getnchannels()
-        width = w.getsampwidth()
-        nframes = min(w.getnframes(), int(max_seconds * sr))
-        raw = w.readframes(nframes)
+    try:
+        with wave.open(path, "rb") as w:
+            sr = w.getframerate()
+            nch = w.getnchannels()
+            width = w.getsampwidth()
+            nframes = min(w.getnframes(), int(max_seconds * sr))
+            raw = w.readframes(nframes)
+    except (wave.Error, EOFError) as e:
+        raise ValueError(
+            f"{path!r} is not a readable PCM WAV file ({e}); supported: "
+            f"8/16/24/32-bit integer or 32-bit float frames") from e
     if width == 1:  # unsigned 8-bit
         sig = (np.frombuffer(raw, np.uint8).astype(np.float32) - 128.0) / 128.0
     elif width == 2:

@@ -34,7 +34,11 @@ def _analyze(argv):
                args.html or (os.path.splitext(args.wav)[0] + ".html")]
     if args.cpu:
         pr_args.append("--cpu")
-    pr.main(pr_args)
+    try:
+        pr.main(pr_args)
+    except (ValueError, FileNotFoundError) as e:
+        print(f"error: {e}", file=sys.stderr)
+        sys.exit(2)
 
 
 def main(argv=None):
