@@ -39,7 +39,7 @@ from .ops.rfft import rfft_planes, irfft_planes, rfft_post_twiddles
 __all__ = [
     "FFTContext", "RFFTContext",
     "create_fft", "create_fft_f32", "create_rfft", "create_rfft_f32",
-    "fft", "ifft", "rfft", "irfft", "fft2", "ifft2",
+    "fft", "ifft", "rfft", "irfft", "fft2", "ifft2", "rfft2", "irfft2",
 ]
 
 
@@ -606,6 +606,29 @@ def fft2(x):
 def ifft2(x):
     """Inverse 2D FFT (normalized) over the trailing [h, w] axes."""
     return _fft2_impl(x, inverse=True)
+
+
+def rfft2(x):
+    """2D real FFT over the trailing [h, w] axes of a real array -> complex
+    [..., h, w//2+1] (numpy.fft.rfft2 semantics; f32 path). Half-width
+    fused fft2 + one 2D Hermitian recombination (ops/fft2.rfft2_planes).
+    Multi-chip version: parallel.sharded.rfft2_sharded."""
+    from .ops.fft2 import rfft2_planes
+    re, im = rfft2_planes(jnp.asarray(x, jnp.float32))
+    if not _complex_device_ok():
+        return (np.asarray(re) + 1j * np.asarray(im)).astype(np.complex64)
+    return re + 1j * im
+
+
+def irfft2(x):
+    """Inverse of rfft2: complex [..., h, m+1] -> real [..., h, 2m]."""
+    from .ops.fft2 import irfft2_planes
+    if not _complex_device_ok():
+        x = np.asarray(x, np.complex64)
+        return irfft2_planes(jnp.asarray(np.ascontiguousarray(x.real)),
+                             jnp.asarray(np.ascontiguousarray(x.imag)))
+    x = jnp.asarray(x, jnp.complex64)
+    return irfft2_planes(x.real, x.imag)
 
 
 def fft(x, dtype: str = "float32"):

@@ -291,12 +291,28 @@ def ifftn(a, s=None, axes=None, norm=None):
     return a * sc if sc != 1.0 else a
 
 
+def _is_trailing_pair(axes, ndim):
+    ax = tuple(a % ndim for a in axes)
+    return ndim >= 2 and ax == (ndim - 2, ndim - 1)
+
+
 def rfft2(a, s=None, axes=(-2, -1), norm=None):
-    """2D real FFT: rfft along axes[-1], then a full fft along axes[0]."""
+    """2D real FFT. Trailing power-of-two axes with matching `s` and real
+    input take the fused half-width path (api.rfft2: one fft2 kernel + one
+    2D Hermitian recombination); anything else composes rfft rows + fft
+    columns through the 1D dispatch."""
     xp = _xp()
     a = xp.asarray(a)
     if s is None:
         s = (a.shape[axes[0]], a.shape[axes[1]])
+    if (_is_trailing_pair(axes, a.ndim)
+            and tuple(s) == (a.shape[-2], a.shape[-1])
+            and _is_pow2(s[0]) and _is_pow2(s[1]) and s[1] >= 4
+            and not xp.iscomplexobj(a)):
+        from . import api
+        out = api.rfft2(a)
+        sc = _norm_scale(norm, s[0] * s[1], "fwd")
+        return out * sc if sc != 1.0 else out
     out = rfft(a, n=s[1], axis=axes[1], norm=None)
     out = fft(out, n=s[0], axis=axes[0], norm=None)
     sc = _norm_scale(norm, s[0] * s[1], "fwd")
@@ -308,6 +324,13 @@ def irfft2(a, s=None, axes=(-2, -1), norm=None):
     a = xp.asarray(a)
     if s is None:
         s = (a.shape[axes[0]], 2 * (a.shape[axes[1]] - 1))
+    if (_is_trailing_pair(axes, a.ndim)
+            and tuple(s) == (a.shape[-2], 2 * (a.shape[-1] - 1))
+            and _is_pow2(s[0]) and _is_pow2(s[1]) and s[1] >= 4):
+        from . import api
+        out = api.irfft2(a)
+        sc = _norm_scale(norm, s[0] * s[1], "inv")
+        return out * sc if sc != 1.0 else out
     out = ifft(a, n=s[0], axis=axes[0], norm=None)
     out = irfft(out, n=s[1], axis=axes[1], norm=None)
     sc = _norm_scale(norm, s[0] * s[1], "inv")

@@ -28,7 +28,8 @@ from .pallas_stockham import (stockham_fft_nb, stage_plan, make_twiddle_pack,
                               run_stages, _TwCache)
 from .large import _stage1_call
 
-__all__ = ["fft2_planes", "fft2_nb", "validate_fft2_shape"]
+__all__ = ["fft2_planes", "fft2_nb", "validate_fft2_shape",
+           "rfft2_planes", "irfft2_planes"]
 
 
 def validate_fft2_shape(shape) -> None:
@@ -223,6 +224,127 @@ def fft2_nb(xre, xim, inverse: bool = False):
     the separable XLA path. Output keeps [h, w, batch] orientation.
     Differentiable (custom VJP: the conjugate transform)."""
     return _fft2_nb_diff(xre, xim, bool(inverse))
+
+
+# -- 2D real FFT (rfft2/irfft2) ------------------------------------------------
+# The round-4 bench row composed per-axis 1D pieces (rfft rows + swapaxes +
+# complex column FFT, ~10 relayout/kernel passes per roundtrip) and measured
+# 1.8x vs jnp.fft.rfft2 — the one row under the 2x BASELINE bar. This path
+# instead does the true 2D analog of the reference's pack-as-complex real
+# transform (fft_real_f32_dual.wat rfft: pack -> m-point complex core ->
+# Hermitian post): pack along w into z[n1,j] = x[n1,2j] + i*x[n1,2j+1],
+# ONE half-width fused fft2 (the cube/k2 kernels above), and a single 2D
+# Hermitian recombination pass.
+#
+# Derivation of the 2D recombination: the 1D post-process
+#   X_rows[n1,k] = E[n1,k] + W_w^k * O[n1,k],
+#   E = (Zr[k] + conj(Zr[(m-k)%m]))/2,  O = -i/2 (Zr[k] - conj(Zr[(m-k)%m]))
+# commutes with the (linear) column FFT via
+#   fft_col(conj(Y))[k1] = conj(fft_col(Y)[(-k1)%h]),
+# so with Zf = fft2(z) the full-2D bins are, for k = 0..m:
+#   A[k1,k] = Zf[k1, k%m],  B[k1,k] = conj(Zf[(-k1)%h, (m-k)%m])
+#   X[k1,k] = (A+B)/2 + W_w^k * (-i/2)(A-B)
+# and the inverse recombination (exact; the 0.5s cancel, no extra scale):
+#   Zf[k1,k] = (X + conj(Xm))/2 + i/2 * conj(W_w^k) * (X - conj(Xm)),
+#   Xm[k1,k] = X[(-k1)%h, m-k],  k = 0..m-1.
+# Same structure as ops/pallas_rfft.hermitian_{post,pre}_nb with one extra
+# axis-0 mirror; shares its host twiddle cache (_Cache).
+
+
+def _axmirror(a, ax):
+    """index map k -> (-k) % n along axis ax: [Y0, Y1, ..] -> [Y0, flip(rest)]."""
+    ax = ax % a.ndim
+    first = jax.lax.slice_in_dim(a, 0, 1, axis=ax)
+    rest = jnp.flip(jax.lax.slice_in_dim(a, 1, a.shape[ax], axis=ax), axis=ax)
+    return jnp.concatenate([first, rest], axis=ax)
+
+
+def _herm2_tw(w, inverse, ndim, kax):
+    from .pallas_rfft import _Cache
+    wre, wim = _Cache.get(w, inverse)
+    shape = [1] * ndim
+    shape[kax % ndim] = wre.size
+    return wre.reshape(shape), wim.reshape(shape)
+
+
+def herm2_post_nb(zre, zim, w, hax, kax):
+    """fft2 of row-packed z [.., h, m, ..] -> rfft2 bins [.., h, m+1, ..]."""
+    m = w // 2
+    ax = kax % zre.ndim
+    a0re = jax.lax.slice_in_dim(zre, 0, 1, axis=ax)
+    a0im = jax.lax.slice_in_dim(zim, 0, 1, axis=ax)
+    are = jnp.concatenate([zre, a0re], axis=ax)          # A: Zf[k % m]
+    aim = jnp.concatenate([zim, a0im], axis=ax)
+    core_re = jnp.flip(jax.lax.slice_in_dim(zre, 1, m, axis=ax), axis=ax)
+    core_im = jnp.flip(jax.lax.slice_in_dim(zim, 1, m, axis=ax), axis=ax)
+    mre = jnp.concatenate([a0re, core_re, a0re], axis=ax)  # Zf[(m-k) % m]
+    mim = jnp.concatenate([a0im, core_im, a0im], axis=ax)
+    bre = _axmirror(mre, hax)                            # conj + (-k1) % h
+    bim = -_axmirror(mim, hax)
+    ere = 0.5 * (are + bre)
+    eim = 0.5 * (aim + bim)
+    dre = are - bre
+    dim = aim - bim
+    ore = 0.5 * dim
+    oim = -0.5 * dre
+    wr, wi = _herm2_tw(w, False, zre.ndim, kax)
+    return (ere + wr * ore - wi * oim,
+            eim + wr * oim + wi * ore)
+
+
+def herm2_pre_nb(xre, xim, w, hax, kax):
+    """Inverse of herm2_post_nb: bins [.., h, m+1, ..] -> packed Zf [.., h, m, ..]."""
+    m = w // 2
+    ax = kax % xre.ndim
+    are = jax.lax.slice_in_dim(xre, 0, m, axis=ax)
+    aim = jax.lax.slice_in_dim(xim, 0, m, axis=ax)
+    mre = jnp.flip(jax.lax.slice_in_dim(xre, 1, m + 1, axis=ax), axis=ax)
+    mim = jnp.flip(jax.lax.slice_in_dim(xim, 1, m + 1, axis=ax), axis=ax)
+    bre = _axmirror(mre, hax)
+    bim = -_axmirror(mim, hax)
+    ere = 0.5 * (are + bre)
+    eim = 0.5 * (aim + bim)
+    dre = are - bre
+    dim = aim - bim
+    ore = -0.5 * dim
+    oim = 0.5 * dre
+    wr, wi = _herm2_tw(w, True, xre.ndim, kax)
+    return (ere + wr * ore - wi * oim,
+            eim + wr * oim + wi * ore)
+
+
+def validate_rfft2_shape(shape) -> None:
+    validate_fft2_shape(shape)
+    if shape[-1] < 4:
+        raise ValueError(
+            f"rfft2 needs w >= 4 (pack-as-complex m = w/2 >= 2), "
+            f"got shape {tuple(shape)}")
+
+
+@jax.jit
+def rfft2_planes(x):
+    """2D real FFT of [..., h, w] real input -> spectrum planes
+    [..., h, w//2+1] x 2 (numpy.fft.rfft2 semantics over the trailing
+    axes). h, w powers of two, w >= 4. One half-width fused fft2 + one
+    recombination pass; dispatches like fft2_planes on any backend."""
+    validate_rfft2_shape(x.shape)
+    w = x.shape[-1]
+    zre = x[..., 0::2]
+    zim = x[..., 1::2]
+    zre, zim = fft2_planes(zre, zim, inverse=False)
+    return herm2_post_nb(zre, zim, w, hax=-2, kax=-1)
+
+
+@jax.jit
+def irfft2_planes(re, im):
+    """Inverse of rfft2_planes: [..., h, m+1] spectrum planes -> real
+    [..., h, 2m] (normalized, numpy.fft.irfft2 semantics)."""
+    m1 = re.shape[-1]
+    w = 2 * (m1 - 1)
+    validate_rfft2_shape(re.shape[:-1] + (w,))
+    zre, zim = herm2_pre_nb(re, im, w, hax=-2, kax=-1)
+    yre, yim = fft2_planes(zre, zim, inverse=True)
+    return jnp.stack([yre, yim], axis=-1).reshape(*yre.shape[:-1], w)
 
 
 @functools.partial(jax.jit, static_argnames=("inverse",))
