@@ -46,6 +46,23 @@ def test_playground_report_is_self_contained(tmp_path, monkeypatch):
         "https://github.com", "")  # (no external loads; repo links ok)
     assert 'src="http' not in s and "@import" not in s and "fetch(" not in s
 
+    # live-input analog (round-5): the in-browser WAV analysis pipeline —
+    # decoder, the JS port of the real-FFT path (pack-as-complex core +
+    # Hermitian post), mel bank, and the swappable panel hooks
+    for marker in ("function jsRfft", "function jsFFT", "function parseWav",
+                   "function analyzeSignal", "function jsMelBank",
+                   "window.__updateSpec", "window.__updateSpectrum",
+                   'id="wav-input"'):
+        assert marker in s, marker
+    # the page's on-load self-test oracle must BE a correct numpy rfft —
+    # a wrong embedded oracle would mask a broken JS pipeline
+    import numpy as np
+    st = json.loads(re.search(r"const SELFTEST = (\{.*?\});\n", s,
+                              re.S).group(1))
+    X = np.fft.rfft(np.asarray(st["x"]))
+    np.testing.assert_allclose(st["re"], X.real, atol=1e-12)
+    np.testing.assert_allclose(st["im"], X.imag, atol=1e-12)
+
 
 def test_analyze_wav_input_path(tmp_path, monkeypatch):
     """The user-audio input path (VERDICT r4 #8 — the analog of the

@@ -153,6 +153,18 @@ def spectrum_data(sig, sr) -> dict:
     }
 
 
+def selftest_data() -> dict:
+    """numpy-f64 rfft oracle for the page's on-load JS pipeline self-test
+    (no JS engine exists in the test image — the page checks itself)."""
+    rng = np.random.default_rng(42)
+    x = rng.uniform(-1, 1, 64)
+    X = np.fft.rfft(x)
+    return {"x": [float(v) for v in x],
+            "re": [float(v) for v in X.real],
+            "im": [float(v) for v in X.imag],
+            "scale": float(np.max(np.abs(X)))}
+
+
 def bench_data() -> dict | None:
     """Speedup-vs-jnp series from the latest saved headline bench results."""
     path = os.path.join(REPO, "benchmarks", "results", "headline.latest.json")
@@ -248,6 +260,21 @@ curve; toggle the frequency axis.</p>
   <div class="readout" id="spectrum-read">&nbsp;</div>
 </div>
 
+<h2>Analyze your own audio</h2>
+<p class="sub">Drop (or pick) a PCM WAV file and the panels above re-render
+from it — decoded and analyzed entirely in this page (no server, works
+offline) by a JavaScript port of the same pipeline: pack-as-complex
+half-size FFT + Hermitian post-process (the framework's real path), Hann
+window, mel filterbank. The reference playground's live-input modes,
+as a file-input analog.</p>
+<div class="card">
+  <div class="controls">
+    <input type="file" id="wav-input" accept=".wav,audio/wav,audio/x-wav">
+    <button id="wav-reset" style="display:none">back to embedded signal</button>
+  </div>
+  <div class="readout" id="wav-status">no file loaded — showing the embedded signal</div>
+</div>
+
 <h2>Benchmark</h2>
 <p class="sub" id="bench-sub"></p>
 <div class="card" id="bench-card">
@@ -268,6 +295,7 @@ const SPEC = __SPEC_JSON__;
 const SPECTRUM = __SPECTRUM_JSON__;
 const BENCH = __BENCH_JSON__;
 const RAMP = __RAMP_JSON__;
+const SELFTEST = __SELFTEST_JSON__;
 const C = { ink: "__INK__", ink2: "__INK2__", muted: "__MUTED__",
             grid: "__GRID__", base: "__BASELINE__", blue: "__BLUE__" };
 
@@ -281,33 +309,37 @@ function lerpRamp(t) {  // t in [0,1] -> css color from the blue ramp
 }
 
 // ---- spectrogram: uint8 dB grid -> canvas, dB-floor toggle, hover ----
+// state is swappable (window.__updateSpec) so the in-browser WAV analysis
+// below can redraw the same panel with recomputed data
 (function () {
   const raw = atob(SPEC.data_b64);
-  const mels = SPEC.n_mels, frames = SPEC.frames, span = SPEC.span_db;
-  const u8 = new Uint8Array(raw.length);
-  for (let i = 0; i < raw.length; i++) u8[i] = raw.charCodeAt(i);
+  const u80 = new Uint8Array(raw.length);
+  for (let i = 0; i < raw.length; i++) u80[i] = raw.charCodeAt(i);
+  let S = { u8: u80, mels: SPEC.n_mels, frames: SPEC.frames,
+            span: SPEC.span_db, hop: SPEC.hop, sr: SPEC.sr };
   const cv = document.getElementById("spec");
   const ctx = cv.getContext("2d");
   let floor = 75;
   function draw() {
-    const img = ctx.createImageData(frames, mels);
-    for (let m = 0; m < mels; m++) {
-      for (let f = 0; f < frames; f++) {
-        const db = (u8[m * frames + f] / 255) * span - span; // [-span, 0]
+    const img = ctx.createImageData(S.frames, S.mels);
+    for (let m = 0; m < S.mels; m++) {
+      for (let f = 0; f < S.frames; f++) {
+        const db = (S.u8[m * S.frames + f] / 255) * S.span - S.span;
         const t = Math.max(0, Math.min(1, (db + floor) / floor));
         const col = lerpRamp(t).match(/\d+/g).map(Number);
-        const o = ((mels - 1 - m) * frames + f) * 4;
+        const o = ((S.mels - 1 - m) * S.frames + f) * 4;
         img.data[o] = col[0]; img.data[o + 1] = col[1];
         img.data[o + 2] = col[2]; img.data[o + 3] = 255;
       }
     }
     const off = document.createElement("canvas");  // no OffscreenCanvas dep
-    off.width = frames; off.height = mels;
+    off.width = S.frames; off.height = S.mels;
     off.getContext("2d").putImageData(img, 0, 0);
     ctx.imageSmoothingEnabled = false;
     ctx.clearRect(0, 0, cv.width, cv.height);
-    ctx.drawImage(off, 0, 0, frames, mels, 0, 0, cv.width, cv.height);
+    ctx.drawImage(off, 0, 0, S.frames, S.mels, 0, 0, cv.width, cv.height);
   }
+  window.__updateSpec = d => { S = d; draw(); };
   draw();
   document.querySelectorAll("[data-floor]").forEach(b =>
     b.addEventListener("click", () => {
@@ -317,32 +349,35 @@ function lerpRamp(t) {  // t in [0,1] -> css color from the blue ramp
   const read = document.getElementById("spec-read");
   cv.addEventListener("mousemove", e => {
     const r = cv.getBoundingClientRect();
-    const f = Math.floor((e.clientX - r.left) / r.width * frames);
-    const m = mels - 1 - Math.floor((e.clientY - r.top) / r.height * mels);
-    if (f < 0 || f >= frames || m < 0 || m >= mels) return;
-    const db = ((u8[m * frames + f] / 255) * span - span).toFixed(1);
-    const t = (f * SPEC.hop / SPEC.sr).toFixed(3);
+    const f = Math.floor((e.clientX - r.left) / r.width * S.frames);
+    const m = S.mels - 1 - Math.floor((e.clientY - r.top) / r.height * S.mels);
+    if (f < 0 || f >= S.frames || m < 0 || m >= S.mels) return;
+    const db = ((S.u8[m * S.frames + f] / 255) * S.span - S.span).toFixed(1);
+    const t = (f * S.hop / S.sr).toFixed(3);
     read.textContent = `t = ${t} s   mel bin ${m}   ${db} dB (rel max)`;
   });
   cv.addEventListener("mouseleave", () => read.innerHTML = "&nbsp;");
 })();
 
 // ---- spectrum: polyline + peak labels, lin/log freq axis, hover ----
+// state is swappable (window.__updateSpectrum) for the WAV analysis below
 (function () {
   const svg = document.getElementById("spectrum");
-  const db = SPECTRUM.db, n = SPECTRUM.n, sr = SPECTRUM.sr;
+  let D = SPECTRUM;
   const W = 840, H = 280, L = 46, R = 10, T = 10, B = 30;
-  const dbMin = -100, dbMax = Math.ceil(Math.max(...db) / 10) * 10;
+  const dbMin = -100;
   let mode = "lin";
-  const fOf = i => i * sr / n;
-  const f0log = fOf(1);
+  const fOf = i => i * D.sr / D.n;
   function xOf(i) {
-    if (mode === "lin") return L + (fOf(i) / (sr / 2)) * (W - L - R);
-    const lo = Math.log10(f0log), hi = Math.log10(sr / 2);
-    return L + (Math.log10(Math.max(fOf(i), f0log)) - lo) / (hi - lo) * (W - L - R);
+    if (mode === "lin") return L + (fOf(i) / (D.sr / 2)) * (W - L - R);
+    const lo = Math.log10(fOf(1)), hi = Math.log10(D.sr / 2);
+    return L + (Math.log10(Math.max(fOf(i), fOf(1))) - lo) / (hi - lo) * (W - L - R);
   }
+  let dbMax = 0;
   const yOf = v => T + (dbMax - v) / (dbMax - dbMin) * (H - T - B);
   function draw() {
+    const db = D.db;
+    dbMax = Math.ceil(Math.max(...db) / 10) * 10;
     let s = "";
     // recessive grid + axis labels
     for (let g = dbMax; g >= dbMin; g -= 20) {
@@ -350,10 +385,12 @@ function lerpRamp(t) {  // t in [0,1] -> css color from the blue ramp
       s += `<line x1="${L}" y1="${y}" x2="${W - R}" y2="${y}" stroke="${C.grid}"/>`;
       s += `<text x="${L - 6}" y="${y + 4}" text-anchor="end" font-size="10" fill="${C.muted}">${g}</text>`;
     }
-    const ticks = mode === "lin" ? [0, 2000, 4000, 6000, 8000]
-                                 : [100, 300, 1000, 3000, 8000];
+    const half = D.sr / 2;
+    const ticks = (mode === "lin"
+      ? [0, 0.25, 0.5, 0.75, 1].map(t => Math.round(t * half))
+      : [100, 300, 1000, 3000, 10000].filter(f => f <= half));
     for (const f of ticks) {
-      const i = Math.round(f * n / sr);
+      const i = Math.round(f * D.n / D.sr);
       const x = xOf(Math.max(i, 1));
       s += `<text x="${x}" y="${H - 10}" text-anchor="middle" font-size="10" fill="${C.muted}">${f >= 1000 ? (f / 1000) + "k" : f}</text>`;
     }
@@ -362,14 +399,15 @@ function lerpRamp(t) {  // t in [0,1] -> css color from the blue ramp
     for (let i = 1; i < db.length; i++)
       pts += `${xOf(i).toFixed(1)},${yOf(Math.max(db[i], dbMin)).toFixed(1)} `;
     s += `<polyline points="${pts}" fill="none" stroke="${C.blue}" stroke-width="2"/>`;
-    for (const p of SPECTRUM.peaks) {
-      const i = Math.round(p.hz * n / sr);
+    for (const p of D.peaks) {
+      const i = Math.round(p.hz * D.n / D.sr);
       s += `<text x="${xOf(i) + 4}" y="${yOf(p.db) - 4}" font-size="10" fill="${C.ink2}">${p.hz} Hz</text>`;
     }
     s += `<rect id="spectrum-hit" x="${L}" y="${T}" width="${W - L - R}" height="${H - T - B}" fill="transparent"/>`;
     svg.innerHTML = s;
     hook();
   }
+  window.__updateSpectrum = d => { D = d; draw(); };
   const read = document.getElementById("spectrum-read");
   function hook() {
     const hit = document.getElementById("spectrum-hit");
@@ -377,11 +415,11 @@ function lerpRamp(t) {  // t in [0,1] -> css color from the blue ramp
       const r = svg.getBoundingClientRect();
       const px = (e.clientX - r.left) * (W / r.width);
       let best = 1, bd = 1e9;
-      for (let i = 1; i < db.length; i++) {
+      for (let i = 1; i < D.db.length; i++) {
         const d = Math.abs(xOf(i) - px);
         if (d < bd) { bd = d; best = i; }
       }
-      read.textContent = `${Math.round(fOf(best))} Hz   ${db[best].toFixed(1)} dB`;
+      read.textContent = `${Math.round(fOf(best))} Hz   ${D.db[best].toFixed(1)} dB`;
     });
     hit.addEventListener("mouseleave", () => read.innerHTML = "&nbsp;");
   }
@@ -391,6 +429,223 @@ function lerpRamp(t) {  // t in [0,1] -> css color from the blue ramp
       b.classList.add("on"); mode = b.dataset.fx; draw();
     }));
   draw();
+})();
+
+// ---- in-browser analysis: WAV decode + JS port of the real-FFT pipeline ----
+// Mirrors watfft_tpu exactly: jsRfft = pack-as-complex m-point complex core
+// + Hermitian post (ops/pallas_rfft.hermitian_post_nb's formulas); hann =
+// stft.get_window's periodic variant; framing/mel/dB match stft.py.
+function jsFFT(re, im, inverse) {  // iterative radix-2, n power of two
+  const n = re.length;
+  for (let i = 1, j = 0; i < n; i++) {   // bit-reversal permutation
+    let bit = n >> 1;
+    for (; j & bit; bit >>= 1) j ^= bit;
+    j ^= bit;
+    if (i < j) {
+      let t = re[i]; re[i] = re[j]; re[j] = t;
+      t = im[i]; im[i] = im[j]; im[j] = t;
+    }
+  }
+  for (let len = 2; len <= n; len <<= 1) {
+    const ang = (inverse ? 2 : -2) * Math.PI / len;
+    const wr = Math.cos(ang), wi = Math.sin(ang);
+    const half = len >> 1;
+    for (let i = 0; i < n; i += len) {
+      let cr = 1, ci = 0;
+      for (let k = 0; k < half; k++) {
+        const ar = re[i + k], ai = im[i + k];
+        const xr = re[i + k + half], xi = im[i + k + half];
+        const br = xr * cr - xi * ci, bi = xr * ci + xi * cr;
+        re[i + k] = ar + br; im[i + k] = ai + bi;
+        re[i + k + half] = ar - br; im[i + k + half] = ai - bi;
+        const t = cr * wr - ci * wi; ci = cr * wi + ci * wr; cr = t;
+      }
+    }
+  }
+  if (inverse) for (let i = 0; i < n; i++) { re[i] /= n; im[i] /= n; }
+}
+function jsRfft(x) {  // real [n] -> {re, im} each [n/2+1]
+  const n = x.length, m = n >> 1;
+  const zr = new Float64Array(m), zi = new Float64Array(m);
+  for (let j = 0; j < m; j++) { zr[j] = x[2 * j]; zi[j] = x[2 * j + 1]; }
+  jsFFT(zr, zi, false);
+  const Xr = new Float64Array(m + 1), Xi = new Float64Array(m + 1);
+  Xr[0] = zr[0] + zi[0]; Xr[m] = zr[0] - zi[0];
+  for (let k = 1; k < m; k++) {
+    const ar = zr[k], ai = zi[k], br = zr[m - k], bi = zi[m - k];
+    const er = 0.5 * (ar + br), ei = 0.5 * (ai - bi);
+    const or_ = 0.5 * (ai + bi), oi = -0.5 * (ar - br);
+    const ang = -Math.PI * k / m, wr = Math.cos(ang), wi = Math.sin(ang);
+    Xr[k] = er + wr * or_ - wi * oi;
+    Xi[k] = ei + wr * oi + wi * or_;
+  }
+  return { re: Xr, im: Xi };
+}
+function jsHann(n) {
+  const w = new Float64Array(n);
+  for (let i = 0; i < n; i++) w[i] = 0.5 - 0.5 * Math.cos(2 * Math.PI * i / n);
+  return w;
+}
+function jsMelBank(nMels, nFft, sr) {  // [nMels][nFft/2+1] triangles (htk mel)
+  const h2m = f => 2595 * Math.log10(1 + f / 700);
+  const m2h = m => 700 * (Math.pow(10, m / 2595) - 1);
+  const mmax = h2m(sr / 2), bins = [];
+  for (let i = 0; i < nMels + 2; i++)
+    bins.push(Math.floor((nFft + 1) * m2h(mmax * i / (nMels + 1)) / sr));
+  const fb = [];
+  for (let i = 0; i < nMels; i++) {
+    const row = new Float64Array(nFft / 2 + 1);
+    const [a, b, c] = [bins[i], bins[i + 1], bins[i + 2]];
+    for (let j = a; j < b; j++) row[j] = (j - a) / (b - a);
+    for (let j = b; j < c; j++) row[j] = (c - j) / (c - b);
+    fb.push(row);
+  }
+  return fb;
+}
+function parseWav(buf, maxSeconds) {  // -> {sig: Float64Array, sr}
+  const dv = new DataView(buf);
+  const tag = o => String.fromCharCode(dv.getUint8(o), dv.getUint8(o + 1),
+                                       dv.getUint8(o + 2), dv.getUint8(o + 3));
+  if (dv.byteLength < 44 || tag(0) !== "RIFF" || tag(8) !== "WAVE")
+    throw new Error("not a RIFF/WAVE file");
+  let off = 12, fmt = null, data = null;
+  while (off + 8 <= dv.byteLength) {
+    const id = tag(off), sz = dv.getUint32(off + 4, true);
+    if (id === "fmt ")
+      fmt = { code: dv.getUint16(off + 8, true), ch: dv.getUint16(off + 10, true),
+              sr: dv.getUint32(off + 12, true), bits: dv.getUint16(off + 22, true) };
+    else if (id === "data")
+      data = { off: off + 8, sz: Math.min(sz, dv.byteLength - off - 8) };
+    off += 8 + sz + (sz & 1);
+  }
+  if (!fmt || !data) throw new Error("missing fmt/data chunk");
+  if (fmt.code !== 1 && fmt.code !== 3 && fmt.code !== 0xFFFE)
+    throw new Error("unsupported WAV codec " + fmt.code);
+  const bytes = fmt.bits / 8;
+  let nfr = Math.floor(data.sz / (bytes * fmt.ch));
+  nfr = Math.min(nfr, Math.floor(maxSeconds * fmt.sr));
+  const sig = new Float64Array(nfr);
+  for (let i = 0; i < nfr; i++) {
+    let acc = 0;
+    for (let c = 0; c < fmt.ch; c++) {
+      const o = data.off + (i * fmt.ch + c) * bytes;
+      let v;
+      if (fmt.bits === 8) v = (dv.getUint8(o) - 128) / 128;
+      else if (fmt.bits === 16) v = dv.getInt16(o, true) / 32768;
+      else if (fmt.bits === 24) {
+        let u = dv.getUint8(o) | (dv.getUint8(o + 1) << 8) | (dv.getUint8(o + 2) << 16);
+        if (u >= 1 << 23) u -= 1 << 24;
+        v = u / (1 << 23);
+      } else if (fmt.bits === 32)
+        v = (fmt.code === 3) ? dv.getFloat32(o, true)
+                             : dv.getInt32(o, true) / 2147483648;
+      else throw new Error("unsupported WAV bit depth " + fmt.bits);
+      acc += v;
+    }
+    sig[i] = acc / fmt.ch;
+  }
+  return { sig, sr: fmt.sr };
+}
+function analyzeSignal(sig, sr) {  // -> {spec, spectrum} panel states
+  // mel spectrogram: n_fft=512 hop=128 n_mels=96, span 90 dB (stft.py params)
+  const nFft = 512, hop = 128, nMels = 96, span = 90;
+  const win = jsHann(nFft);
+  const frames = Math.max(0, Math.floor((sig.length - nFft) / hop) + 1);
+  const nBins = nFft / 2 + 1;
+  const fb = jsMelBank(nMels, nFft, sr);
+  const mel = new Float64Array(nMels * frames);
+  const fr = new Float64Array(nFft);
+  for (let f = 0; f < frames; f++) {
+    for (let i = 0; i < nFft; i++) fr[i] = sig[f * hop + i] * win[i];
+    const X = jsRfft(fr);
+    for (let mI = 0; mI < nMels; mI++) {
+      let s = 0;
+      const row = fb[mI];
+      for (let j = 0; j < nBins; j++)
+        if (row[j]) s += row[j] * (X.re[j] * X.re[j] + X.im[j] * X.im[j]);
+      mel[mI * frames + f] = s;
+    }
+  }
+  let mx = -Infinity;
+  const melDb = new Float64Array(mel.length);
+  for (let i = 0; i < mel.length; i++) {
+    melDb[i] = 10 * Math.log10(mel[i] + 1e-12);
+    if (melDb[i] > mx) mx = melDb[i];
+  }
+  const u8 = new Uint8Array(mel.length);
+  for (let i = 0; i < mel.length; i++) {
+    const q = Math.max(0, Math.min(1, (melDb[i] - mx + span) / span));
+    u8[i] = Math.round(q * 255);
+  }
+  // spectrum: one Hann-windowed 2048-point frame from the middle
+  const n2 = 2048, mid = Math.floor(sig.length / 2);
+  const w2 = jsHann(n2), fr2 = new Float64Array(n2);
+  for (let i = 0; i < n2; i++) fr2[i] = (sig[mid + i] || 0) * w2[i];
+  const X2 = jsRfft(fr2);
+  const db = [];
+  for (let i = 0; i < X2.re.length; i++)
+    db.push(20 * Math.log10(Math.hypot(X2.re[i], X2.im[i]) + 1e-9));
+  const order = db.map((v, i) => i).sort((a, b) => db[b] - db[a]);
+  const peaks = [];
+  for (const i of order) {
+    const hz = i * sr / n2;
+    if (peaks.every(p => Math.abs(p.hz - hz) > 300))
+      peaks.push({ hz: Math.round(hz), db: +db[i].toFixed(1) });
+    if (peaks.length === 3) break;
+  }
+  return {
+    spec: { u8, mels: nMels, frames, span, hop, sr },
+    spectrum: { n: n2, sr, db, peaks },
+  };
+}
+(function () {
+  const input = document.getElementById("wav-input");
+  const status = document.getElementById("wav-status");
+  const reset = document.getElementById("wav-reset");
+  // self-test on load: jsRfft vs a numpy oracle embedded at build time —
+  // no JS engine exists in the repo's test image, so the page itself is
+  // where the JS pipeline gets numerically checked (visible on failure)
+  const st = SELFTEST;
+  const stGot = jsRfft(Float64Array.from(st.x));
+  let stErr = 0;
+  for (let i = 0; i < st.re.length; i++)
+    stErr = Math.max(stErr, Math.abs(stGot.re[i] - st.re[i]),
+                     Math.abs(stGot.im[i] - st.im[i]));
+  if (!(stErr < 1e-9 * st.scale)) {
+    status.textContent = "WARNING: in-browser FFT self-test failed (err " +
+      stErr + ") — the JS analysis pipeline is unreliable in this browser";
+    input.disabled = true;
+    return;
+  }
+  function run(file) {
+    const rd = new FileReader();
+    rd.onload = () => {
+      try {
+        const { sig, sr } = parseWav(rd.result, 30);
+        if (sig.length < 4096)
+          throw new Error("signal too short to analyze (" + sig.length +
+                          " samples; need >= 4096)");
+        const t0 = performance.now();
+        const r = analyzeSignal(sig, sr);
+        window.__updateSpec(r.spec);
+        window.__updateSpectrum(r.spectrum);
+        status.textContent = `${file.name}: ${(sig.length / sr).toFixed(1)}s ` +
+          `at ${sr} Hz — ${r.spec.frames} frames analyzed in ` +
+          `${(performance.now() - t0).toFixed(0)} ms (in-browser JS pipeline)`;
+        reset.style.display = "";
+      } catch (e) { status.textContent = "error: " + e.message; }
+    };
+    rd.readAsArrayBuffer(file);
+  }
+  input.addEventListener("change", () => {
+    if (input.files.length) run(input.files[0]);
+  });
+  document.body.addEventListener("dragover", e => e.preventDefault());
+  document.body.addEventListener("drop", e => {
+    e.preventDefault();
+    if (e.dataTransfer.files.length) run(e.dataTransfer.files[0]);
+  });
+  reset.addEventListener("click", () => location.reload());
 })();
 
 // ---- bench: speedup bars, lin/log toggle, hover, table view ----
@@ -474,7 +729,8 @@ def build_report(sig, sr: int, out: str, sig_desc: str = SYNTH_DESC) -> str:
                  ("__SPEC_JSON__", json.dumps(spectrogram_data(sig, sr))),
                  ("__SPECTRUM_JSON__", json.dumps(spectrum_data(sig, sr))),
                  ("__BENCH_JSON__", json.dumps(bench_data())),
-                 ("__RAMP_JSON__", json.dumps(BLUE_RAMP))):
+                 ("__RAMP_JSON__", json.dumps(BLUE_RAMP)),
+                 ("__SELFTEST_JSON__", json.dumps(selftest_data()))):
         html = html.replace(k, v)
     with open(out, "w") as f:
         f.write(html)
