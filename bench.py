@@ -677,27 +677,29 @@ def main(full: bool = False) -> None:
     if not over_budget("rfft2"):
         try:
             from watfft_tpu.ops.fft2 import rfft2_planes, irfft2_planes
-            br, hr, wr = 128, 256, 256
-            xr2 = jnp.asarray(
-                rng.uniform(-1, 1, (br, hr, wr)).astype(np.float32))
+            shapes = ([(128, 256, 256), (32, 512, 512)] if full
+                      else [(128, 256, 256)])
+            for br, hr, wr in shapes:
+                xr2 = jnp.asarray(
+                    rng.uniform(-1, 1, (br, hr, wr)).astype(np.float32))
 
-            def r2step(c):
-                re, im = rfft2_planes(c)
-                return irfft2_planes(re, im)
+                def r2step(c):
+                    re, im = rfft2_planes(c)
+                    return irfft2_planes(re, im)
 
-            def jr2step(c):
-                z = jnp.fft.rfft2(c)
-                return jnp.fft.irfft2(z, s=(hr, wr))
-            t_r2, t_jr2, ratio, st = paired_chain(
-                r2step, xr2, jr2step, xr2, reps=3,
-                floor_ours=_roundtrip_floor(xr2.size))
-            nbytes = 16 * br * hr * wr  # ~2 duplex plane-pair passes/dir
-            record(f"watfft/rfft2-planes/f32/{hr}x{wr}", t_r2, br,
-                   nbytes=nbytes, times=st["ours_times"])
-            record(f"jnp.fft/rfft2/f32/{hr}x{wr}", t_jr2, br, nbytes=nbytes,
-                   times=st["base_times"])
-            print(f"  [rfft2] {hr}x{wr} b={br}: ours={2*br/t_r2:,.0f}/s "
-                  f"jnp={2*br/t_jr2:,.0f}/s x{ratio:.2f}", file=sys.stderr)
+                def jr2step(c, hr=hr, wr=wr):
+                    z = jnp.fft.rfft2(c)
+                    return jnp.fft.irfft2(z, s=(hr, wr))
+                t_r2, t_jr2, ratio, st = paired_chain(
+                    r2step, xr2, jr2step, xr2, reps=3,
+                    floor_ours=_roundtrip_floor(xr2.size))
+                nbytes = 16 * br * hr * wr  # ~2 duplex plane-pair passes/dir
+                record(f"watfft/rfft2-planes/f32/{hr}x{wr}", t_r2, br,
+                       nbytes=nbytes, times=st["ours_times"])
+                record(f"jnp.fft/rfft2/f32/{hr}x{wr}", t_jr2, br,
+                       nbytes=nbytes, times=st["base_times"])
+                print(f"  [rfft2] {hr}x{wr} b={br}: ours={2*br/t_r2:,.0f}/s "
+                      f"jnp={2*br/t_jr2:,.0f}/s x{ratio:.2f}", file=sys.stderr)
         except Exception as e:
             print(f"  rfft2 bench failed: {str(e)[:120]}", file=sys.stderr)
 
