@@ -60,6 +60,58 @@ def test_rfft2_matches_composed_column_path():
     assert np.max(np.abs(np.asarray(im) - np.asarray(cim))) / scale < 5e-6
 
 
+@pytest.mark.parametrize("shape", [(256, 256), (1, 128, 512), (2, 64, 256)])
+def test_fft2_thin_batch_kernel_path(shape, monkeypatch):
+    """Exp 52: thin batches (b % 128 != 0, incl. BASELINE config 5's single
+    image) dispatch to the in-VMEM-transpose row kernel instead of paying
+    two boundary transposes. Forced interpret so the kernel path (not the
+    portable fallback) is what runs on CPU."""
+    import jax.numpy as jnp
+    from watfft_tpu import config
+    from watfft_tpu.ops import fft2 as f2
+    monkeypatch.setattr(config, "FORCE_INTERPRET", True)
+    lead = 1
+    for s in shape[:-2]:
+        lead *= s
+    assert f2._fft2_thin_ok(shape[-2], shape[-1], lead)
+    rng = ref.seeded_rng(sum(shape))
+    a = rng.uniform(-1, 1, shape).astype(np.float32)
+    b = rng.uniform(-1, 1, shape).astype(np.float32)
+    re, im = f2.fft2_planes(jnp.asarray(a), jnp.asarray(b))
+    expected = np.fft.fft2(a.astype(np.float64) + 1j * b.astype(np.float64))
+    got = np.asarray(re) + 1j * np.asarray(im)
+    err = np.max(np.abs(got - expected)) / np.max(np.abs(expected))
+    assert err < 5e-6, err
+    bre, bim = f2.fft2_planes(re, im, inverse=True)
+    assert np.max(np.abs(np.asarray(bre) - a)) < 1e-4
+    assert np.max(np.abs(np.asarray(bim) - b)) < 1e-4
+
+
+def test_fft2_thin_batch_grad(monkeypatch):
+    """The thin-path row kernel carries a custom VJP (conjugate transform):
+    grad of sum|fft2(z)|^2 must equal the analytic 2*h*w*x (Parseval)."""
+    import jax
+    import jax.numpy as jnp
+    from watfft_tpu import config
+    from watfft_tpu.ops.fft2 import fft2_planes
+    monkeypatch.setattr(config, "FORCE_INTERPRET", True)
+    rng = ref.seeded_rng(52)
+    x = jnp.asarray(rng.uniform(-1, 1, (128, 128)).astype(np.float32))
+    y = jnp.asarray(rng.uniform(-1, 1, (128, 128)).astype(np.float32))
+
+    def loss(p, q):
+        r, i = fft2_planes(p, q)
+        return jnp.sum(r * r + i * i)
+
+    gx, gy = jax.grad(loss, argnums=(0, 1))(x, y)
+    # rtol alone misses near-zero x entries whose absolute f32 error is set
+    # by the transform scale (2*h*w), hence the scale-relative atol
+    np.testing.assert_allclose(np.asarray(gx), 2 * 128 * 128 * np.asarray(x),
+                               rtol=1e-4, atol=2 * 128 * 128 * 2e-6)
+    np.testing.assert_allclose(np.asarray(gy), 2 * 128 * 128 * np.asarray(y),
+                               rtol=1e-4, atol=2 * 128 * 128 * 2e-6)
+
+
 def test_rfft2_rejects_bad_shapes():
     from watfft_tpu.ops.fft2 import rfft2_planes
     with pytest.raises(ValueError, match="power of two"):

@@ -226,6 +226,104 @@ def fft2_nb(xre, xim, inverse: bool = False):
     return _fft2_nb_diff(xre, xim, bool(inverse))
 
 
+# -- single-image / thin-batch row pass (round-5 Exp 52) -----------------------
+# When the image batch cannot fill the 128-lane grid (_fft2_nb_ok fails on
+# b % 128 — notably BASELINE config 5's SINGLE 4096^2 image), the separable
+# path pays two full-size XLA transposes per direction around the w-axis
+# kernel (~8 HBM passes/direction total). This kernel reads [1, 128, w]
+# blocks of the FREE [rows/128, 128, w] view and does the [128, w] <->
+# [w, 128] lane<->sublane transpose IN VMEM — Mosaic lowers the 2D
+# transpose (verified on chip, tools/probe_fft2single.py) — so the w-axis
+# pass costs one read + one write. Measured: 4096^2 roundtrip 3255us ->
+# 2045us (1.59x), 2.87x -> 4.56x vs jnp.fft.fft2.
+
+
+def _rowfft_lanes_kernel(w, inverse, offsets, stages,
+                         xre_ref, xim_ref, twre_ref, twim_ref,
+                         ore_ref, oim_ref):
+    tre = jnp.swapaxes(xre_ref[:][0], 0, 1)    # [128, w] -> [w, 128] in VMEM
+    tim = jnp.swapaxes(xim_ref[:][0], 0, 1)
+    tre, tim = run_stages(tre, tim, w, inverse, offsets, stages,
+                          twre_ref[:], twim_ref[:])
+    ore_ref[:] = jnp.swapaxes(tre, 0, 1)[None]
+    oim_ref[:] = jnp.swapaxes(tim, 0, 1)[None]
+
+
+@functools.partial(jax.jit, static_argnames=("w", "inverse", "interpret"))
+def _rowfft_lanes_call(xre, xim, twre, twim, w, inverse, interpret=False):
+    rows = xre.shape[0]                        # xre: [rows, w], rows % 128 == 0
+    stages = tuple(stage_plan(w))
+    offsets = make_twiddle_pack(w, inverse)[2]
+    v = (rows // 128, 128, w)
+    kernel = functools.partial(_rowfft_lanes_kernel, w, inverse, offsets,
+                               stages)
+    blk = pl.BlockSpec((1, 128, w), lambda i: (i, 0, 0),
+                       memory_space=pltpu.VMEM)
+    tw = pl.BlockSpec(twre.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct(v, xre.dtype)
+    ore, oim = pl.pallas_call(
+        kernel, grid=(rows // 128,),
+        in_specs=[blk, blk, tw, tw],
+        out_specs=[blk, blk],
+        out_shape=[out_shape, out_shape],
+        input_output_aliases={0: 0, 1: 1},
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=config.VMEM_LIMIT_BYTES),
+        interpret=interpret,
+    )(xre.reshape(v), xim.reshape(v), twre, twim)
+    return ore.reshape(rows, w), oim.reshape(rows, w)
+
+
+def _rowfft_lanes_impl(xre, xim, inverse):
+    twre, twim = _TwCache.get(xre.shape[-1], inverse)
+    interpret = config.FORCE_INTERPRET or jax.default_backend() != "tpu"
+    return _rowfft_lanes_call(xre, xim, jnp.asarray(twre), jnp.asarray(twim),
+                              xre.shape[-1], inverse, interpret)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _rowfft_lanes_diff(xre, xim, inverse):
+    return _rowfft_lanes_impl(xre, xim, inverse)
+
+
+def _rowfft_lanes_diff_fwd(xre, xim, inverse):
+    return _rowfft_lanes_impl(xre, xim, inverse), xre.shape[-1]
+
+
+def _rowfft_lanes_diff_bwd(inverse, w, g):
+    # adjoint of the (symmetric) DFT on split planes = the conjugate
+    # transform: VJP(fft) = w * ifft, VJP(ifft) = fft / w — the per-axis
+    # rule _fft2_nb_diff_bwd uses, one axis
+    gre, gim = g
+    ore, oim = _rowfft_lanes_impl(gre, gim, not inverse)
+    s = jnp.asarray(1.0 / w if inverse else float(w), ore.dtype)
+    return ore * s, oim * s
+
+
+_rowfft_lanes_diff.defvjp(_rowfft_lanes_diff_fwd, _rowfft_lanes_diff_bwd)
+
+
+def _fft2_thin_ok(h: int, w: int, lead: int) -> bool:
+    from .. import planner
+    return (planner.pallas_available()
+            and is_power_of_two(h) and is_power_of_two(w)
+            and (lead * h) % 128 == 0 and (lead * w) % 128 == 0
+            and 2 <= h <= config.STOCKHAM_MAX_N
+            and 16 <= w <= config.STOCKHAM_MAX_N // 4)
+
+
+def _fft2_thin(xre, xim, lead, inverse):
+    """Separable 2D FFT for thin batches (lead*... not lane-fillable for
+    fft2_nb): time-major column pass + the lanes row kernel; rows of all
+    images share the 128-row blocks (each row transforms independently)."""
+    shape = xre.shape
+    h, w = shape[-2], shape[-1]
+    xre, xim = _fft_rows_timemajor(xre, xim, inverse)      # columns (h)
+    yre, yim = _rowfft_lanes_diff(xre.reshape(lead * h, w),
+                                  xim.reshape(lead * h, w), inverse)
+    return yre.reshape(shape), yim.reshape(shape)
+
+
 # -- 2D real FFT (rfft2/irfft2) ------------------------------------------------
 # The round-4 bench row composed per-axis 1D pieces (rfft rows + swapaxes +
 # complex column FFT, ~10 relayout/kernel passes per roundtrip) and measured
@@ -365,6 +463,10 @@ def fft2_planes(xre, xim, inverse: bool = False):
         ore, oim = fft2_nb(x3re, x3im, inverse=inverse)
         return (jnp.moveaxis(ore, -1, 0).reshape(shape),
                 jnp.moveaxis(oim, -1, 0).reshape(shape))
+    if lead and _fft2_thin_ok(h, w, lead):
+        # thin batch (Exp 52): in-VMEM-transpose row kernel instead of two
+        # boundary transposes — 4096^2 single image 2.87x -> 4.56x vs jnp
+        return _fft2_thin(xre, xim, lead, inverse)
     # columns: transform along h (axis -2) with w (+batch) on lanes
     xre, xim = _fft_rows_timemajor(xre, xim, inverse)
     # rows: transpose trailing axes, transform along w, transpose back
