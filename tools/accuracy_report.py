@@ -85,6 +85,55 @@ def main():
                           f"{r.quality:>8.2f}")
 
     if args.dtype == "float32":
+        # 2D faces (round-5): the fused batched kernel path (fft2_nb), the
+        # thin-batch in-VMEM-transpose path (Exp 52, single image), and the
+        # 2D real path (Exp 50) — vs the numpy f64 oracle. Quality uses
+        # N = h*w in the same eps*sqrt(log2 N) normalization.
+        import numpy as np
+        import jax.numpy as jnp
+        from watfft_tpu.ops.fft2 import (fft2_planes, rfft2_planes,
+                                         irfft2_planes)
+        rng2 = np.random.default_rng(2026)
+
+        def _q(max_rel, n):
+            return max_rel / (np.finfo(np.float32).eps * np.sqrt(np.log2(n)))
+
+        for name, shape, real in (("fft2-nb", (128, 256, 256), False),
+                                  ("fft2-thin", (512, 512), False),
+                                  ("rfft2-planes", (128, 256, 256), True),
+                                  ("rfft2-thin", (1024, 1024), True)):
+            try:
+                h, w = shape[-2], shape[-1]
+                if real:
+                    x = rng2.uniform(-1, 1, shape).astype(np.float32)
+                    re, im = rfft2_planes(jnp.asarray(x))
+                    got = np.asarray(re) + 1j * np.asarray(im)
+                    ref = np.fft.rfft2(x.astype(np.float64), axes=(-2, -1))
+                    back = np.asarray(irfft2_planes(re, im))
+                    inv_err = np.max(np.abs(back - x))
+                else:
+                    a = rng2.uniform(-1, 1, shape).astype(np.float32)
+                    b = rng2.uniform(-1, 1, shape).astype(np.float32)
+                    re, im = fft2_planes(jnp.asarray(a), jnp.asarray(b))
+                    got = np.asarray(re) + 1j * np.asarray(im)
+                    ref = np.fft.fft2(a.astype(np.float64)
+                                      + 1j * b.astype(np.float64),
+                                      axes=(-2, -1))
+                    bre, bim = fft2_planes(re, im, inverse=True)
+                    inv_err = max(np.max(np.abs(np.asarray(bre) - a)),
+                                  np.max(np.abs(np.asarray(bim) - b)))
+                scale = np.max(np.abs(ref))
+                max_rel = float(np.max(np.abs(got - ref)) / scale)
+                rms_rel = float(np.sqrt(np.mean(np.abs(got - ref) ** 2))
+                                / scale)
+                surf = "2d-forward" if not real else "2d-real"
+                print(f"{surf:<18} {name:<16} {'float32':<8} {h*w:>6} "
+                      f"{max_rel:>10.2e} {rms_rel:>10.2e} "
+                      f"{_q(max_rel, h*w):>8.2f}  inv_abs {inv_err:.2e}")
+            except Exception as ex:
+                print(f"{'2d':<18} {name:<16} {'float32':<8} {'':>6} "
+                      f"ERROR: {str(ex)[:40]}")
+
         # bf16 tiers (registered under dtype 'bfloat16'): the interop tier
         # (bf16 planes, f32 butterflies — I/O-rounding-limited ~4e-3) and
         # the compute tier (WATFFT_BF16_COMPUTE: bf16 butterflies end-to-end
