@@ -227,7 +227,12 @@ def fft2(a, axes=(-2, -1), norm=None):
     a = xp.asarray(a)
     if tuple(axes) != (-2, -1):
         a = xp.moveaxis(a, axes, (-2, -1))
-    out = api.fft2(a)
+    if a.ndim < 2 or not (_is_pow2(a.shape[-2]) and _is_pow2(a.shape[-1])):
+        # numpy parity for any size: axis-by-axis through the 1D dispatch
+        # (non-pow2 axes take the Bluestein / native-FFT route)
+        out = fft(fft(a, axis=-1, norm=None), axis=-2, norm=None)
+    else:
+        out = api.fft2(a)
     n = out.shape[-1] * out.shape[-2]
     s = _norm_scale(norm, n, "fwd")
     if s != 1.0:
@@ -242,7 +247,10 @@ def ifft2(a, axes=(-2, -1), norm=None):
     a = xp.asarray(a)
     if tuple(axes) != (-2, -1):
         a = xp.moveaxis(a, axes, (-2, -1))
-    out = api.ifft2(a)
+    if a.ndim < 2 or not (_is_pow2(a.shape[-2]) and _is_pow2(a.shape[-1])):
+        out = ifft(ifft(a, axis=-1, norm=None), axis=-2, norm=None)
+    else:
+        out = api.ifft2(a)
     n = out.shape[-1] * out.shape[-2]
     s = _norm_scale(norm, n, "inv")
     if s != 1.0:
