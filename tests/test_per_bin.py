@@ -106,3 +106,40 @@ def test_per_bin_native_3d_layout(n):
     np.fill_diagonal(expected, n)
     err = np.max(np.abs(X.T - expected))
     assert err < PER_BIN["float32"](n), f"n={n} 3D-layout err={err:.3e}"
+
+
+def test_per_bin_rfft2():
+    """Tier 4 for the 2D real face (Exp 50): one pure 2D sinusoid per
+    (k1, k2), energy must land in exactly bin (k1, k2) of rfft2. All
+    h*(w/2+1) representable bins validated in ONE batched transform:
+    batch index b = k1*(w/2+1)+k2 carries cos(2pi(k1 n1/h + k2 n2/w))."""
+    import jax.numpy as jnp
+    from watfft_tpu.ops.fft2 import rfft2_planes
+    h, w = 16, 16
+    m1 = w // 2 + 1
+    k1 = np.arange(h).repeat(m1)                 # [h*m1]
+    k2 = np.tile(np.arange(m1), h)
+    n1 = np.arange(h)[None, :, None]
+    n2 = np.arange(w)[None, None, :]
+    phase = 2 * np.pi * (k1[:, None, None] * n1 / h
+                         + k2[:, None, None] * n2 / w)
+    x = np.cos(phase).astype(np.float32)         # [h*m1, h, w]
+    re, im = rfft2_planes(jnp.asarray(x))
+    mag = np.abs(np.asarray(re) + 1j * np.asarray(im))  # [h*m1, h, m1]
+    tol = h * w * 5e-6
+    for b in range(h * m1):
+        got = mag[b].copy()
+        # a real cosine splits between (k1,k2) and the conjugate bin
+        # (-k1, -k2); within the rfft2 half-spectrum the partner appears
+        # at ((h-k1)%h, k2) when k2 is 0 or Nyquist, else only (k1,k2)
+        peaks = {(int(k1[b]), int(k2[b]))}
+        if k2[b] in (0, w // 2):
+            peaks.add((int((h - k1[b]) % h), int(k2[b])))
+        # each peak holds h*w/2 (h*w when self-conjugate — the set
+        # collapses to one entry there); the bound below accepts both
+        for (p1, p2) in peaks:
+            assert got[p1, p2] > h * w / 2 - tol, (b, p1, p2, got[p1, p2])
+            got[p1, p2] = 0.0
+        assert np.max(got) < tol, (b, np.unravel_index(np.argmax(got),
+                                                       got.shape),
+                                   np.max(got))
