@@ -1015,9 +1015,18 @@ def main(full: bool = False) -> None:
                   file=sys.stderr)
 
     try:
-        # a truncated run must never clobber the committed full snapshot
-        # (tests/test_meta.py asserts every surface has a row in it)
-        bench_id = "headline" if not truncated else "headline.partial"
+        # Neither a truncated run nor a budget-mode (non --full) run may
+        # clobber the committed full snapshot: test_meta asserts every
+        # surface has a row in it AND the README table is derived from it
+        # (test_readme_table_matches_snapshot) — a driver-budget run
+        # overwriting it would silently redden both. Budget runs get
+        # their own id; --full owns headline.latest.json.
+        if truncated:
+            bench_id = "headline.partial"
+        elif full:
+            bench_id = "headline"
+        else:
+            bench_id = "headline.default"
         path = save_results(bench_id, results)
         print(f"saved: {path} "
               f"({time.perf_counter()-t_start:.0f}s total"
