@@ -98,12 +98,16 @@ def main(full: bool = False) -> None:
     truncated = []
 
     def over_budget(section: str) -> bool:
-        if time.perf_counter() - t_start > budget_s:
+        elapsed = time.perf_counter() - t_start
+        if elapsed > budget_s:
             truncated.append(section)
             print(f"  [budget] skipping section {section} "
-                  f"({time.perf_counter()-t_start:.0f}s elapsed > "
+                  f"({elapsed:.0f}s elapsed > "
                   f"{budget_s:.0f}s budget)", file=sys.stderr)
             return True
+        # section-start mark: the budget profile (which section eats the
+        # driver budget) is otherwise invisible in the stderr log
+        print(f"  [t+{elapsed:.0f}s] section {section}", file=sys.stderr)
         return False
 
     import jax
