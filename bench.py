@@ -15,14 +15,16 @@ Budget discipline (round-5, VERDICT r4 #3 — the r4 driver run skipped 11
 sections after the complex sweep): the headline JSON line prints
 IMMEDIATELY after the headline sweep; then sections run COVERAGE-FIRST —
 one representative row per registry surface (real, rinv, real-fused, f64,
-large-nb, bluestein, rfft-large, fourstep, stft, fft2, rfft2, fft-large)
-BEFORE any per-size depth sweeps or secondary tiers (bf16 / speed-tier /
-mxu-dft / convenience), which run LAST. Under the WATFFT_BENCH_BUDGET_S
-budget (default 540 s) a 2x-slow drift state truncates depth, never
-surface coverage. A truncated run saves to headline.partial.json so the
-committed full-run snapshot is never clobbered. --full widens every sweep
-(the reference's CI runs a 30 s bench smoke while full benches run
-locally — time-budgeted benching is part of the apparatus, ci.yml).
+large-nb, bluestein, rfft-large, fourstep, stft, fft2, rfft2, fft-large,
+then the cheap secondary surfaces dispatch/bf16/speed-tier/mxu-dft)
+BEFORE any per-size depth sweeps (cinv-4096, real-16..), which run LAST.
+Depth is ADAPTIVE (_reps/sweep_reps): the sweep alone measured 128-554 s
+across tunnel/compile-service states, so reps degrade as budget burns —
+a slow state truncates depth, never surfaces. Under WATFFT_BENCH_BUDGET_S
+(default 540 s) a truncated run saves to headline.partial.json and a
+completed budget run to headline.default.latest.json, so the committed
+--full snapshot (headline.latest.json, full reps everywhere) is never
+clobbered. (Reference analog: time-budgeted CI bench smoke, ci.yml.)
 
 Clamp policy (round-3, ADVICE r2): only OUR times are clamped up to the
 duplex-HBM floor (anti-cheat — a Pallas kernel cannot move data faster
@@ -146,9 +148,27 @@ def main(full: bool = False) -> None:
             print(f"  !! {name}: eff {eff:,.0f} GB/s is within 1.2x of the "
                   f"{HBM_BW_PER_DIR/1e9:,.0f} GB/s clamp", file=sys.stderr)
 
-    def _solo(step, args, reps=3, floor=0.0, **kw):
+    def _reps(k: int = 3) -> int:
+        """Adaptive section depth (VERDICT r4 #3, round-5 profile): the
+        headline sweep alone measured anywhere from 128 s to 554 s across
+        process states (tunnel/compile-service dependent), so a fixed
+        per-section rep count either wastes a fast state or blows the
+        budget in a slow one. Once HALF the budget is spent, coverage
+        sections drop to a single rep — a slow state truncates DEPTH,
+        never surfaces. --full (the committed snapshot) always runs full
+        reps."""
+        if full:
+            return k
+        # budget mode caps at 2 even in a FAST state: the full-depth
+        # section tour measured ~600 s total (t+ marks, 2026-08-21) —
+        # more than the whole budget regardless of sweep speed
+        return 1 if time.perf_counter() - t_start > 0.5 * budget_s \
+            else min(k, 2)
+
+    def _solo(step, args, reps=None, floor=0.0, **kw):
         """Single-sided chain timing: compile once, median of `reps` slopes.
         Returns (median, per-rep times)."""
+        reps = _reps() if reps is None else reps
         t = ChainTimer(step, args)
         t.calibrate(**kw)
         ts = [max(t.slope(), floor) for _ in range(reps)]
@@ -191,9 +211,17 @@ def main(full: bool = False) -> None:
                 a, bb = c
                 a, bb = stockham_fft_nb(a, bb, inverse=False)
                 return stockham_fft_nb(a, bb, inverse=True)
+            # sweep reps degrade with elapsed budget share (same rationale
+            # as _reps: in a slow tunnel/compile state the sweep alone
+            # measured 554 s — the metric must still print AND leave room
+            # for the coverage sections; median-of-pairs per size holds
+            # at any rep count)
+            el = time.perf_counter() - t_start
+            sweep_reps = (3 if full or el < 0.3 * budget_s
+                          else 2 if el < 0.5 * budget_s else 1)
             t_ours, t_base, speedup, st = paired_chain(
                 pstep, (xre_t, xim_t), jstep, (xre, xim),
-                reps=3, floor_ours=_roundtrip_floor(xre_t.size))
+                reps=sweep_reps, floor_ours=_roundtrip_floor(xre_t.size))
         except Exception as e:
             print(f"  n={n}: pallas failed ({str(e)[:80]}), using fourstep",
                   file=sys.stderr)
@@ -288,7 +316,7 @@ def main(full: bool = False) -> None:
         # real roundtrip moves ~half the complex traffic (one real plane
         # in, ~two half-length spectrum planes out, per direction)
         t_r, t_jr, ratio, st = paired_chain(
-            rstep, xr_t, jrstep, xr, reps=3,
+            rstep, xr_t, jrstep, xr, reps=_reps(),
             floor_ours=_roundtrip_floor(xr_t.size) / 2)
         nbytes = 8 * n * b  # ~2 duplex passes/direction (matches floor)
         record(f"watfft/{sname}/f32/n{n}", t_r, b, nbytes=nbytes,
@@ -359,7 +387,7 @@ def main(full: bool = False) -> None:
             floor_r = _roundtrip_floor(n * b) / 4
             t_ri, t_jri, ratio, st = paired_chain(
                 ristep, (sre_t, sim_t), jristep, (sre, sim),
-                reps=3, floor_ours=floor_r)
+                reps=_reps(), floor_ours=floor_r)
             t_rf_, _ = _solo(rfstep, xr_t, floor=floor_r)
             nbytes = 4 * n * b
             record(f"watfft/{sname}/f32-inv/n{n}", t_ri, b, items=1,
@@ -416,20 +444,27 @@ def main(full: bool = False) -> None:
                 t_df, ts = _solo(dfstep, args)
                 record(f"watfft/doublefloat-pallas/f64/n{n}", t_df, b,
                        times=ts)
-                # f32 pair at the same shape — the tier's cost baseline
-                f32args = (jnp.asarray(x.astype(np.float32)),
-                           jnp.asarray(y.astype(np.float32)))
+                if full or _reps() > 1:
+                    # f32 pair at the same shape — the tier's cost
+                    # baseline (skipped in lite mode: it is a ratio
+                    # companion, not a surface; the committed full
+                    # snapshot recomputes it every round)
+                    f32args = (jnp.asarray(x.astype(np.float32)),
+                               jnp.asarray(y.astype(np.float32)))
 
-                def f32step(c):
-                    a, bb = c
-                    a, bb = stockham_fft_nb(a, bb, inverse=False)
-                    return stockham_fft_nb(a, bb, inverse=True)
-                t_f32, f32ts = _solo(f32step, f32args)
-                record(f"watfft/stockham-pallas/f32-pair/n{n}", t_f32, b,
-                       times=f32ts)
-                print(f"  [df-complex] n={n} b={b}: {2*b/t_df:,.0f}/s "
-                      f"({t_df/t_f32:.2f}x the f32 cost at this shape)",
-                      file=sys.stderr)
+                    def f32step(c):
+                        a, bb = c
+                        a, bb = stockham_fft_nb(a, bb, inverse=False)
+                        return stockham_fft_nb(a, bb, inverse=True)
+                    t_f32, f32ts = _solo(f32step, f32args)
+                    record(f"watfft/stockham-pallas/f32-pair/n{n}", t_f32,
+                           b, times=f32ts)
+                    print(f"  [df-complex] n={n} b={b}: {2*b/t_df:,.0f}/s "
+                          f"({t_df/t_f32:.2f}x the f32 cost at this shape)",
+                          file=sys.stderr)
+                else:
+                    print(f"  [df-complex] n={n} b={b}: {2*b/t_df:,.0f}/s "
+                          f"(lite)", file=sys.stderr)
 
             n, b = 1024, 256
             xh, xl = split_f64(rng.uniform(-1, 1, (n, b)))
@@ -475,7 +510,7 @@ def main(full: bool = False) -> None:
                     return z.real, z.imag
                 t_ln, t_j8, ratio, st = paired_chain(
                     lnstep, (xre_t, xim_t), jstep8, (xre, xim),
-                    reps=3, floor_ours=_roundtrip_floor(xre_t.size))
+                    reps=_reps(), floor_ours=_roundtrip_floor(xre_t.size))
                 nbytes = 16 * n * b
                 record(f"watfft/large-nb/f32/n{n}", t_ln, b, nbytes=nbytes,
                        times=st["ours_times"])
@@ -509,7 +544,7 @@ def main(full: bool = False) -> None:
                 z = jnp.fft.ifft(jnp.fft.fft(a + 1j * bb))
                 return z.real, z.imag
             t_bl, t_jbl, ratio, st = paired_chain(
-                blstep, (xre_t, xim_t), jblstep, (xre, xim), reps=3)
+                blstep, (xre_t, xim_t), jblstep, (xre, xim), reps=_reps())
             record(f"watfft/bluestein/f32/n{n}", t_bl, b,
                    times=st["ours_times"])
             record(f"jnp.fft/nonpow2/f32/n{n}", t_jbl, b,
@@ -537,7 +572,7 @@ def main(full: bool = False) -> None:
                 def jrlstep(c):
                     return jnp.fft.irfft(jnp.fft.rfft(c), n=n)
                 t_rl, t_jrl, ratio, st = paired_chain(
-                    rlstep, xr_t, jrlstep, xr, reps=3,
+                    rlstep, xr_t, jrlstep, xr, reps=_reps(),
                     floor_ours=_roundtrip_floor(xr_t.size) / 2)
                 nbytes = 8 * n * b
                 record(f"watfft/rfft-large/f32/n{n}", t_rl, b, nbytes=nbytes,
@@ -589,7 +624,7 @@ def main(full: bool = False) -> None:
                 return jnp.concatenate(
                     [y.real[:, :-1], y.imag[:, :-1]], axis=1)[:, :n]
             t_s, t_js, ratio, st = paired_chain(sstep, xr_t, jstft, xr,
-                                                reps=3)
+                                                reps=_reps())
             print(f"  [stft-4096x1024] ours={b/t_s:,.0f}/s "
                   f"jnp={b/t_js:,.0f}/s x{ratio:.2f}", file=sys.stderr)
             record("watfft/stft-workload/f32/n1024", t_s, b, items=1,
@@ -623,7 +658,7 @@ def main(full: bool = False) -> None:
                 z = jnp.fft.ifft2(jnp.fft.fft2(a + 1j * bbx))
                 return z.real, z.imag
             t_f2, t_jf2, ratio, st = paired_chain(
-                f2step, (zre, zim), jf2step, (zre, zim), reps=3,
+                f2step, (zre, zim), jf2step, (zre, zim), reps=_reps(),
                 floor_ours=2 * _roundtrip_floor(zre.size))  # 2 passes/dir
             nbytes = 32 * bb2 * h2 * w2  # 4 duplex plane-pair passes
             record(f"watfft/fft2-planes/f32/{h2}x{w2}", t_f2, bb2,
@@ -660,7 +695,7 @@ def main(full: bool = False) -> None:
                 return z.real, z.imag
             t_f24, t_jf24, ratio, st = paired_chain(
                 f24step, (zre4, zim4), jf24step, (zre4, zim4),
-                reps=3, r1=4, r2=24,
+                reps=_reps(), r1=4, r2=24,
                 floor_ours=2 * _roundtrip_floor(zre4.size))
             nbytes = 32 * h4 * w4
             record(f"watfft/fft2-planes/f32/{h4}x{w4}", t_f24, 1,
@@ -695,7 +730,7 @@ def main(full: bool = False) -> None:
                     z = jnp.fft.rfft2(c)
                     return jnp.fft.irfft2(z, s=(hr, wr))
                 t_r2, t_jr2, ratio, st = paired_chain(
-                    r2step, xr2, jr2step, xr2, reps=3,
+                    r2step, xr2, jr2step, xr2, reps=_reps(),
                     floor_ours=_roundtrip_floor(xr2.size))
                 nbytes = 16 * br * hr * wr  # ~2 duplex plane-pair passes/dir
                 record(f"watfft/rfft2-planes/f32/{hr}x{wr}", t_r2, br,
@@ -729,7 +764,7 @@ def main(full: bool = False) -> None:
                 return z.real, z.imag
             t_l, t_jl, ratio, st = paired_chain(
                 lstep, (xs, ys), jlstep, (xs, ys),
-                reps=3, r1=16, r2=96)
+                reps=_reps(), r1=16, r2=96)
             print(f"  [large] 2^{log} ours={t_l*1e6:,.0f}us "
                   f"jnp={t_jl*1e6:,.0f}us x{ratio:.2f}", file=sys.stderr)
             record(f"watfft/fft-large/f32/n{nn}", t_l, 1,
@@ -739,54 +774,6 @@ def main(full: bool = False) -> None:
         except Exception as e:
             print(f"  large 2^{log} bench failed: {str(e)[:120]}",
                   file=sys.stderr)
-
-    # ---------------- standalone inverse directions (VERDICT r2 Missing #3)
-    # The reference benches inverse complex and inverse real as first-class
-    # surfaces (benchmarks/ifft_f32_dual.bench.js, irfft_f32_dual.bench.js)
-    # and claims forward/inverse parity for the native inverse
-    # (README.md:53). [cinv]: one chain step = ONE inverse transform (the
-    # carry stays spectrum planes). inv/fwd reports the parity ratio.
-    for n in ((1024, 4096) if full else (4096,)):
-        if over_budget(f"cinv-{n}"):
-            break
-        try:
-            b = max(128, TOTAL_ELEMS // n)
-            hr = rng.uniform(-1, 1, (n, b)).astype(np.float32)
-            hi = rng.uniform(-1, 1, (n, b)).astype(np.float32)
-            if n <= 2048 and b % 1024 == 0:  # native 3D layout (Exp 38)
-                hr = hr.reshape(n, 8, b // 8)
-                hi = hi.reshape(n, 8, b // 8)
-            xre_t = jnp.asarray(hr)
-            xim_t = jnp.asarray(hi)
-
-            def istep(c):
-                a, bb = c
-                return stockham_fft_nb(a, bb, inverse=True)
-
-            def fstep_only(c):
-                a, bb = c
-                return stockham_fft_nb(a, bb, inverse=False)
-            xre = jnp.asarray(rng.uniform(-1, 1, (b, n)).astype(np.float32))
-            xim = jnp.asarray(rng.uniform(-1, 1, (b, n)).astype(np.float32))
-
-            def jistep(c):
-                a, bb = c
-                z = jnp.fft.ifft(a + 1j * bb)
-                return z.real, z.imag
-            floor1 = _roundtrip_floor(xre_t.size) / 2  # single direction
-            t_i, t_ji, ratio, st = paired_chain(
-                istep, (xre_t, xim_t), jistep, (xre, xim),
-                reps=3, floor_ours=floor1)
-            t_f, _ = _solo(fstep_only, (xre_t, xim_t), floor=floor1)
-            nbytes = 8 * n * b  # one direction = 2 duplex plane-passes
-            record(f"watfft/stockham-pallas/f32-inv/n{n}", t_i, b, items=1,
-                   nbytes=nbytes, times=st["ours_times"])
-            record(f"jnp.fft/f32-inv/n{n}", t_ji, b, items=1, nbytes=nbytes,
-                   times=st["base_times"])
-            print(f"  [cinv] n={n:<6} ours={b/t_i:,.0f}/s jnp={b/t_ji:,.0f}/s "
-                  f"x{ratio:.2f}  inv/fwd={t_i/t_f:.2f}", file=sys.stderr)
-        except Exception as e:
-            print(f"  cinv bench failed: {str(e)[:120]}", file=sys.stderr)
 
     # ---------------- public API dispatch point (planner) -----------------
     # VERDICT r1 #3 evidence: the public context API (batch-major planes)
@@ -931,6 +918,54 @@ def main(full: bool = False) -> None:
     # closes the run.
     # =======================================================================
 
+    # ---------------- standalone inverse directions (VERDICT r2 Missing #3)
+    # The reference benches inverse complex and inverse real as first-class
+    # surfaces (benchmarks/ifft_f32_dual.bench.js, irfft_f32_dual.bench.js)
+    # and claims forward/inverse parity for the native inverse
+    # (README.md:53). [cinv]: one chain step = ONE inverse transform (the
+    # carry stays spectrum planes). inv/fwd reports the parity ratio.
+    for n in ((1024, 4096) if full else (4096,)):
+        if over_budget(f"cinv-{n}"):
+            break
+        try:
+            b = max(128, TOTAL_ELEMS // n)
+            hr = rng.uniform(-1, 1, (n, b)).astype(np.float32)
+            hi = rng.uniform(-1, 1, (n, b)).astype(np.float32)
+            if n <= 2048 and b % 1024 == 0:  # native 3D layout (Exp 38)
+                hr = hr.reshape(n, 8, b // 8)
+                hi = hi.reshape(n, 8, b // 8)
+            xre_t = jnp.asarray(hr)
+            xim_t = jnp.asarray(hi)
+
+            def istep(c):
+                a, bb = c
+                return stockham_fft_nb(a, bb, inverse=True)
+
+            def fstep_only(c):
+                a, bb = c
+                return stockham_fft_nb(a, bb, inverse=False)
+            xre = jnp.asarray(rng.uniform(-1, 1, (b, n)).astype(np.float32))
+            xim = jnp.asarray(rng.uniform(-1, 1, (b, n)).astype(np.float32))
+
+            def jistep(c):
+                a, bb = c
+                z = jnp.fft.ifft(a + 1j * bb)
+                return z.real, z.imag
+            floor1 = _roundtrip_floor(xre_t.size) / 2  # single direction
+            t_i, t_ji, ratio, st = paired_chain(
+                istep, (xre_t, xim_t), jistep, (xre, xim),
+                reps=_reps(), floor_ours=floor1)
+            t_f, _ = _solo(fstep_only, (xre_t, xim_t), floor=floor1)
+            nbytes = 8 * n * b  # one direction = 2 duplex plane-passes
+            record(f"watfft/stockham-pallas/f32-inv/n{n}", t_i, b, items=1,
+                   nbytes=nbytes, times=st["ours_times"])
+            record(f"jnp.fft/f32-inv/n{n}", t_ji, b, items=1, nbytes=nbytes,
+                   times=st["base_times"])
+            print(f"  [cinv] n={n:<6} ours={b/t_i:,.0f}/s jnp={b/t_ji:,.0f}/s "
+                  f"x{ratio:.2f}  inv/fwd={t_i/t_f:.2f}", file=sys.stderr)
+        except Exception as e:
+            print(f"  cinv bench failed: {str(e)[:120]}", file=sys.stderr)
+
     # ---------------- real path depth: the remaining eight sizes ----------
     for n in SIZES:
         if n == 1024:  # representative point already measured above
@@ -979,7 +1014,7 @@ def main(full: bool = False) -> None:
                 return z.real, z.imag
             t_x, t_jx, ratio, st = paired_chain(
                 pstep, (xre_t, xim_t), jstep2, (xre, xim),
-                reps=3, floor_ours=_roundtrip_floor(xre_t.size))
+                reps=_reps(), floor_ours=_roundtrip_floor(xre_t.size))
             nbytes = 16 * n * b
             record(f"watfft/{surf}/f32/n{n}", t_x, b, nbytes=nbytes,
                    times=st["ours_times"])
@@ -1092,7 +1127,7 @@ def main_cpu() -> None:
             return ctx.inverse_planes_fourstep(a, bb)
 
         t_o, t_b, ratio, st = paired_chain(dstep, (xre, xim), jstep,
-                                           (xre, xim), reps=3, r1=4, r2=24,
+                                           (xre, xim), reps=_reps(), r1=4, r2=24,
                                            target_s=0.03)
         ratios.append(ratio)
         from watfft_tpu.bench.harness import time_chain as _tc
